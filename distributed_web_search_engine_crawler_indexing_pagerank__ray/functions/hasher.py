@@ -1,0 +1,72 @@
+"""Bit-exact reimplementation of the reference row-key hash.
+
+Reference: ``src/tools/Hasher.java:8-38`` — SHA-1 of the UTF-8 bytes,
+each digest byte rendered through a 256-entry two-letter alphabet.
+
+The alphabet is ``byte2chars[i] = chr(ord('a') + i % 26) + "acegikmoqs"[i // 26]``
+(first chars cycle a..z, second char steps through the ten odd letters),
+matching the literal table at ``Hasher.java:8-26``.
+
+Sign-fixup quirk (``Hasher.java:35``): the Java code maps a signed byte
+``b`` to index ``b`` if ``b > 0`` else ``255 + b``.  For an unsigned
+byte value ``u`` that means:
+
+- ``1 <= u <= 127``  -> index ``u``
+- ``u == 0``         -> index ``255`` (renders ``"vs"``, NOT ``"aa"``)
+- ``128 <= u <= 255``-> index ``u - 1``
+
+A faithful reimplementation must replicate this to reproduce the
+reference's URL-seen-set keys exactly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+_SECOND = "acegikmoqs"
+BYTE2CHARS = [chr(ord("a") + i % 26) + _SECOND[i // 26] for i in range(256)]
+
+# Pre-resolved unsigned-byte -> two-char string, with the sign-fixup quirk
+# baked in so the hot loop is a single table lookup.
+_U2CHARS = [
+    BYTE2CHARS[u if 1 <= u <= 127 else (255 if u == 0 else u - 1)] for u in range(256)
+]
+
+
+def ref_hash(x: str) -> str:
+    """``Hasher.hash`` (``Hasher.java:27-38``): 40-char lowercase key."""
+    digest = hashlib.sha1(x.encode("utf-8")).digest()
+    return "".join([_U2CHARS[u] for u in digest])
+
+
+def ref_hash_bytes(x: bytes) -> str:
+    digest = hashlib.sha1(x).digest()
+    return "".join([_U2CHARS[u] for u in digest])
+
+
+_KEY_ALLOWED = set("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789-")
+
+
+def key_encode(key: str) -> str:
+    """Filesystem-safe row-key encoding (``src/tools/KeyEncoder.java:5-15``)."""
+    out = []
+    for ch in key:
+        if ch in _KEY_ALLOWED:
+            out.append(ch)
+        else:
+            out.append("_" + format(ord(ch), "x"))
+    return "".join(out)
+
+
+def key_decode(s: str) -> str:
+    """Inverse of :func:`key_encode` (``KeyEncoder.java:17-28``)."""
+    out = []
+    i = 0
+    while i < len(s):
+        if s[i] == "_":
+            out.append(chr(int(s[i + 1 : i + 3], 16)))
+            i += 3
+        else:
+            out.append(s[i])
+            i += 1
+    return "".join(out)

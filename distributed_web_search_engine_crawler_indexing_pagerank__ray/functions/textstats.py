@@ -1,0 +1,195 @@
+"""Text-analysis kernels for training-data pipelines (engine additions).
+
+These back the ``q_quality`` / ``q_langid`` / ``q_token_count`` /
+``q_fingerprint`` queries over the ``documents`` table.  Where a kernel
+is meant to be checked against a DuckDB SQL oracle, its definition is
+kept SQL-expressible (whitespace tokenization, simple ratios) and all
+floats are rounded by the caller before comparison.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import numpy as np
+
+from .tokenize import STOP_WORDS
+
+_WS_RE = re.compile(r"\s+", re.ASCII)
+# BPE-ish token pieces: word chunks of up to 4 chars, digits, or single
+# non-space punctuation — deterministic and regexp-countable.
+_BPE_RE = re.compile(r"[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]", re.ASCII)
+
+# Tiny per-language stopword signatures for the n-gram/stopword languageID
+# heuristic (top function words; public-knowledge lists).
+_LANG_MARKERS: dict[str, frozenset] = {
+    "en": frozenset("the and of to in is you that it he was for on are".split()),
+    "de": frozenset("der die und in den von zu das mit sich des auf ist".split()),
+    "fr": frozenset("le de un et est pour que dans qui sur pas au une".split()),
+    "es": frozenset("el la de que y en un ser se no haber por con".split()),
+    "zh": frozenset("的 一 是 不 了 人 我 在 有 他 这 中 大 来".split()),
+}
+
+
+def whitespace_tokens(text: str) -> list[str]:
+    return [t for t in _WS_RE.split(text) if t]
+
+
+def quality_stats(text: str) -> dict:
+    """Length/punct/stopword quality signals (SQL-expressible)."""
+    toks = whitespace_tokens(text)
+    n = len(toks)
+    n_chars = len(text)
+    n_stop = sum(1 for t in toks if t.lower() in STOP_WORDS)
+    avg_len = (sum(len(t) for t in toks) / n) if n else 0.0
+    stop_ratio = (n_stop / n) if n else 0.0
+    return {
+        "n_tokens": n,
+        "n_chars": n_chars,
+        "avg_token_len": avg_len,
+        "stopword_ratio": stop_ratio,
+    }
+
+
+def bpe_ish_token_count(text: str) -> int:
+    """Count of BPE-ish pieces (regex-defined, deterministic)."""
+    return len(_BPE_RE.findall(text))
+
+
+def lang_id(text: str) -> str:
+    """Stopword-signature language ID; 'und' when nothing matches."""
+    toks = [t.lower() for t in whitespace_tokens(text)[:200]]
+    if not toks:
+        return "und"
+    best, best_score = "und", 0
+    for lang in sorted(_LANG_MARKERS):
+        score = sum(1 for t in toks if t in _LANG_MARKERS[lang])
+        if score > best_score:
+            best, best_score = lang, score
+    return best
+
+
+_FP_MOD = (1 << 61) - 1
+_FP_BASE = 1_000_003
+
+
+def fingerprint(text: str) -> int:
+    """Polynomial rolling hash of the whitespace-normalized text
+    (document fingerprint; stable across runs/processes)."""
+    h = 0
+    for b in " ".join(whitespace_tokens(text)).encode("utf-8"):
+        h = (h * _FP_BASE + b) % _FP_MOD
+    return h
+
+
+def shingles(text: str, k: int = 3) -> set:
+    """Word k-gram shingle set over whitespace tokens (lowercased)."""
+    toks = [t.lower() for t in whitespace_tokens(text)]
+    if len(toks) < k:
+        return {" ".join(toks)} if toks else set()
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    u = len(a | b)
+    return (len(a & b) / u) if u else 0.0
+
+
+# -- MinHash ---------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def minhash_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signature(
+    sh: set, a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """num_perm-wide MinHash signature of a shingle set."""
+    num_perm = len(a)
+    if not sh:
+        return np.full(num_perm, _MERSENNE, dtype=np.uint64)
+    hv = np.array(
+        [hash_shingle(s) for s in sh], dtype=np.uint64
+    )  # (n_shingles,)
+    # (num_perm, n) permuted values; min over shingles
+    vals = (a[:, None] * hv[None, :] + b[:, None]) % _MERSENNE
+    return vals.min(axis=1)
+
+
+def hash_shingle(s: str) -> int:
+    import hashlib
+
+    return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big") % _MERSENNE
+
+
+# -- SimHash ---------------------------------------------------------------
+
+
+def simhash(text: str, bits: int = 64) -> int:
+    """64-bit SimHash over whitespace tokens (blake2b token hashes)."""
+    import hashlib
+
+    toks = [t.lower() for t in whitespace_tokens(text)]
+    if not toks:
+        return 0
+    acc = np.zeros(bits, dtype=np.int64)
+    for t in toks:
+        hv = int.from_bytes(
+            hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(), "big"
+        )
+        for i in range(bits):
+            acc[i] += 1 if (hv >> i) & 1 else -1
+    out = 0
+    for i in range(bits):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+def levenshtein(a: str, b: str, current_best: int = 10**9) -> int:
+    """Early-exit Levenshtein DP (``src/tools/SpellChecker.java:123-173``)."""
+    n, m = len(a), len(b)
+    if n == 0:
+        return m
+    if m == 0:
+        return n
+    if abs(n - m) > current_best:
+        return current_best + 1
+    prev = list(range(m + 1))
+    for i in range(1, n + 1):
+        cur = [i] + [0] * m
+        ca = a[i - 1]
+        row_min = i
+        for j in range(1, m + 1):
+            cost = 0 if ca == b[j - 1] else 1
+            v = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            cur[j] = v
+            if v < row_min:
+                row_min = v
+        if row_min > current_best:
+            return row_min
+        prev = cur
+    return prev[m]
+
+
+def tf(count: int) -> float:
+    """``TfIdf.java:217``: tf = 1 + ln(count)."""
+    return 1.0 + math.log(count)
+
+
+def idf(total_docs: float, doc_freq: int) -> float:
+    """``TfIdf.java:218``: idf = ln((N+1)/(df+1))."""
+    return math.log((total_docs + 1.0) / (doc_freq + 1.0))
