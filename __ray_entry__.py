@@ -1,16 +1,17 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship crawl pipeline over a synthetic web whose
+text corpus is the sf0.001 ``documents`` table.  ``queries()`` exposes
+one entry per implemented operator family from SURVEY.md §2 (plus the
+training-data-pipeline additions); each SQL-expressible one has a
+DuckDB oracle in ``oracle_sql()`` with identical column names and float
+rounding.  Non-SQL-expressible ops (the crawl itself, MinHash/SimHash
+near-dup, language-ID, LSH ANN) are rows-only by design — their exact
+conformance oracles live in tests/ (single-threaded reference-semantics
+simulators).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: no
+``ray.init``/``ray.shutdown`` here or in the library code.
 """
 
 from __future__ import annotations
@@ -18,27 +19,93 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import pyarrow.parquet as pq
+
+from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines import (
+    dedup,
+    events,
+    relational,
+    search_pipeline,
+    similarity,
+    textpipe,
+)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: crawl the synthetic web derived from sf0.001 documents;
+    returns the fetched-pages dataset (url_hash, url, code, type, length,
+    wave)."""
+    import ray.data
+
+    pages, _ = search_pipeline.crawl_corpus(
+        "/root/testdata/sf0.001", n_docs=400, n_hosts=12, target=150, waves=8
+    )
+    return ray.data.from_arrow(
+        pages.select(
+            ["url_hash", "url", "response_code", "content_type", "length", "wave"]
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # generic dataflow operators (SURVEY §2.1)
+        "filter_project": relational.q_filter_project,
+        "groupby_fold": relational.q_groupby_fold,
+        "fold_global": relational.q_fold_global,
+        "distinct": relational.q_distinct,
+        "join_broadcast": relational.q_join_broadcast,
+        "intersection": relational.q_intersection,
+        "sample": relational.q_sample,
+        "topk": relational.q_topk,
+        "count": relational.q_count,
+        # text pipelines (SURVEY §2.4/§2.6 + additions)
+        "wordcount": textpipe.q_wordcount,
+        "inverted_index": textpipe.q_inverted_index,
+        "tfidf_docs": textpipe.q_tfidf_docs,
+        "quality": textpipe.q_quality,
+        "text_stats": textpipe.q_text_stats,
+        # dedup family (training-data additions)
+        "dedup_exact": dedup.q_dedup_exact,
+        "dedup_minhash": dedup.q_dedup_minhash,
+        "dedup_simhash": dedup.q_dedup_simhash,
+        "dedup_embedding": dedup.q_dedup_embedding,
+        # similarity search
+        "knn_bruteforce": similarity.q_knn_bruteforce,
+        "knn_lsh": similarity.q_knn_lsh,
+        # stream-shaped
+        "window_tumbling": events.q_window_tumbling,
+        "sessionize": events.q_sessionize,
+        "top_users": events.q_top_users,
+        # the north-rule crawl + downstream jobs (rows-only; exact
+        # reference-semantics oracles run in tests/)
+        "crawl_pages": search_pipeline.q_crawl_pages,
+        "search_index": search_pipeline.q_search_index,
+        "search_pagerank": search_pipeline.q_search_pagerank,
+        "search_tfidf": search_pipeline.q_search_tfidf,
+        "search_results": search_pipeline.q_search_results,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "filter_project": relational.SQL_FILTER_PROJECT,
+        "groupby_fold": relational.SQL_GROUPBY_FOLD,
+        "fold_global": relational.SQL_FOLD_GLOBAL,
+        "distinct": relational.SQL_DISTINCT,
+        "join_broadcast": relational.SQL_JOIN_BROADCAST,
+        "intersection": relational.SQL_INTERSECTION,
+        "sample": relational.SQL_SAMPLE,
+        "topk": relational.SQL_TOPK,
+        "count": relational.SQL_COUNT,
+        "wordcount": textpipe.SQL_WORDCOUNT,
+        "inverted_index": textpipe.SQL_INVERTED_INDEX,
+        "tfidf_docs": textpipe.SQL_TFIDF_DOCS,
+        "quality": textpipe.SQL_QUALITY,
+        "dedup_exact": dedup.SQL_DEDUP_EXACT,
+        "dedup_embedding": dedup.SQL_DEDUP_EMBEDDING,
+        "knn_bruteforce": similarity.sql_knn_bruteforce(),
+        "window_tumbling": events.SQL_WINDOW_TUMBLING,
+        "sessionize": events.SQL_SESSIONIZE,
+        "top_users": events.SQL_TOP_USERS,
+    }

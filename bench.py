@@ -1,0 +1,170 @@
+"""Benchmark driver: headline crawl throughput + per-query timings.
+
+Prints ONE JSON line:
+  {"metric": "crawl_wall_sec", "value": N, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N,
+   "pages": P, "pages_per_sec": R, ...}
+
+``--scaling`` runs the headline crawl twice in fresh processes
+(num_cpus=8 then 32) on the same input and reports both throughputs +
+scaling efficiency (the sandbox substitute for the north rule's
+N-vs-4N-node criterion; see BASELINE.md §4).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# crawl workload knobs (same input at every parallelism level)
+N_DOCS = int(os.environ.get("BENCH_N_DOCS", "3000000"))
+N_HOSTS = int(os.environ.get("BENCH_N_HOSTS", "50000"))
+TARGET_PAGES = int(os.environ.get("BENCH_TARGET_PAGES", "150000"))
+MAX_WAVES = int(os.environ.get("BENCH_MAX_WAVES", "6"))
+N_SEEDS = int(os.environ.get("BENCH_N_SEEDS", "50000"))
+ZIPF_S = float(os.environ.get("BENCH_ZIPF", "0.3"))
+PARAGRAPHS = int(os.environ.get("BENCH_PARAGRAPHS", "120"))
+LINKS = int(os.environ.get("BENCH_LINKS", "12"))
+
+QUERY_NAMES = [
+    "groupby_fold",
+    "filter_project",
+    "join_broadcast",
+    "wordcount",
+    "inverted_index",
+    "tfidf_docs",
+    "dedup_exact",
+    "dedup_minhash",
+    "knn_bruteforce",
+    "window_tumbling",
+    "sessionize",
+]
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import logging
+
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    import pyarrow.parquet as pq
+
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines.crawl import (
+        CrawlEngine,
+    )
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.sources.synthetic_web import (
+        CrawlParams,
+        WebConfig,
+    )
+
+    texts = tuple(
+        pq.read_table(f"{SF_DIR}/documents.parquet", columns=["text"])["text"]
+        .to_pylist()
+    )
+    cfg = WebConfig(n_docs=N_DOCS, n_hosts=N_HOSTS, texts=texts, zipf_s=ZIPF_S,
+                    paragraphs=PARAGRAPHS, links_per_doc=LINKS)
+    params = CrawlParams(
+        target_pages=TARGET_PAGES, max_waves=MAX_WAVES, n_seeds=N_SEEDS
+    )
+    shards = max(2, NUM_CPUS // 4)  # actors reserve num_cpus=1 each;
+    # half the budget goes to state shards, half to fetch/link tasks
+    t0 = time.time()
+    eng = CrawlEngine(
+        cfg,
+        params,
+        n_host_shards=shards,
+        n_seen_shards=shards,
+        fetch_concurrency=max(2, NUM_CPUS // 2),
+        fetch_batch_size=512,
+        actor_num_cpus=1,
+    )
+    eng.run()
+    crawl_wall = time.time() - t0
+    pages = eng.pages_total
+    attempts = sum(w["attempted"] for w in eng.waves)
+
+    # query timings (each returns a Dataset/DataFrame; consume fully)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    qtimes = {}
+    for name in QUERY_NAMES:
+        t0 = time.time()
+        res = qs[name](SF_DIR)
+        if hasattr(res, "to_pandas"):
+            res = res.to_pandas() if not hasattr(res, "count") else res.to_pandas()
+        qtimes[name] = round(time.time() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "crawl_wall_sec",
+        "value": round(crawl_wall, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "num_cpus": NUM_CPUS,
+        "pages": pages,
+        "url_attempts": attempts,
+        "waves": len(eng.waves),
+        "pages_per_sec": round(pages / crawl_wall, 2),
+        "attempts_per_sec": round(attempts / crawl_wall, 2),
+    }
+
+
+def run_scaling() -> dict:
+    def run_at(ncpu: int) -> dict:
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            BENCH_QUERIES_SKIP="1",
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run_at(lo)
+    r_hi = run_at(hi)
+    eff = (r_hi["pages_per_sec"] / r_lo["pages_per_sec"]) / (hi / lo)
+    return {
+        "metric": "crawl_scaling",
+        "unit": "pages_per_sec",
+        f"pages_per_sec_{lo}": r_lo["pages_per_sec"],
+        f"pages_per_sec_{hi}": r_hi["pages_per_sec"],
+        f"wall_sec_{lo}": r_lo["value"],
+        f"wall_sec_{hi}": r_hi["value"],
+        "pages": r_hi["pages"],
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        if os.environ.get("BENCH_QUERIES_SKIP"):
+            QUERY_NAMES = []
+        print(json.dumps(run_bench()))

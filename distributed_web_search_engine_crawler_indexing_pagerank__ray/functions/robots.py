@@ -147,6 +147,54 @@ def robots_allows(
     return longest is None or is_allow
 
 
+def robots_allows_parsed(
+    rules: list[str] | None, path: str, reference_mode: bool = True
+) -> bool:
+    """Fast-path evaluation over pre-parsed rules (the selected UA/star
+    group from :func:`parse_robots_rules_ordered`); ``rules=None`` means
+    the status/body gating already decided allow.  Semantics identical
+    to :func:`robots_allows` (reference mode keeps the separator bug —
+    every rule skipped) / :func:`robots_allows_strict`."""
+    if not rules:
+        return True
+    if not path.startswith("/"):
+        idx = path.find("/", path.find("://") + 3)
+        path = path[idx:] if idx >= 0 else "/"
+    is_allow = True
+    longest: str | None = None
+    for rule in rules:
+        if rule is None or len(rule) < 3:
+            continue
+        if reference_mode and rule[1] != " ":
+            continue
+        prefix = rule[2:]
+        if not prefix:
+            continue
+        if path.startswith(prefix):
+            if longest is None or len(prefix) > len(longest):
+                longest = prefix
+                is_allow = rule[0] == "A"
+    return longest is None or is_allow
+
+
+def select_rules(
+    robots_status: int | None, robots_txt: str | None, ua: str = UA
+) -> list[str] | None:
+    """Pre-parse a host's cached robots into the effective rule list
+    (``None`` = unconditional allow): the once-per-host half of
+    :func:`robots_allows`, for callers that evaluate many paths."""
+    status = robots_status if robots_status is not None else 0
+    if status == 404 or status <= 0:
+        return None
+    if status < 200 or status >= 300:
+        return None
+    if not robots_txt:
+        return None
+    rules_ua, rules_star = parse_robots_rules_ordered(robots_txt, ua)
+    rules = rules_star if not rules_ua else rules_ua
+    return rules or None
+
+
 def robots_allows_strict(
     robots_status: int | None, robots_txt: str | None, path: str, ua: str = UA
 ) -> bool:

@@ -1,0 +1,303 @@
+"""Generic dataflow operators over the testdata tables.
+
+Each function maps one Flame operator family (SURVEY.md §2.1) onto the
+idiomatic Ray Data shape and is paired with an ANSI-SQL oracle in
+``__ray_entry__.oracle_sql``.  Column names match the SQL exactly
+(driver hashes sorted-by-name columns).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count, Mean, Sum
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# -- #8 filter + #3 projection (vectorized predicate in map_batches) ---------
+
+
+def q_filter_project(sf_dir: str):
+    """lineitem: shipdate < 1995-07-01 → revenue column → top 100 rows.
+
+    Flame: ``rdd.filter`` (``src/flame/Worker.java:892-941``) + fromTable
+    projection.  Ray: pyarrow compute inside map_batches; sort+limit for a
+    deterministic result set."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        import datetime
+
+        cutoff = pa.scalar(datetime.datetime(1995, 7, 1), pa.timestamp("us"))
+        t = t.filter(pc.less(t["l_shipdate"], cutoff))
+        rev = pc.round(
+            pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            ndigits=4,
+        )
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_linenumber": t["l_linenumber"],
+                "revenue": rev,
+            }
+        )
+
+    ds = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(fn, batch_format="pyarrow")
+    return ds.sort(["revenue", "l_orderkey", "l_linenumber"], descending=[True, False, False]).limit(100)
+
+
+SQL_FILTER_PROJECT = """
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice * (1 - l_discount), 4) AS revenue
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1995-07-01'
+ORDER BY revenue DESC, l_orderkey, l_linenumber
+LIMIT 100
+"""
+
+
+# -- #19 foldByKey → groupby().aggregate (the canonical shuffle-reduce) ------
+
+
+def q_groupby_fold(sf_dir: str):
+    """TPC-H-Q1-shaped grouped aggregate (Flame ``pair.foldByKey``,
+    ``src/flame/Worker.java:213-293`` → ``groupby().aggregate``)."""
+
+    def add_rev(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("revenue", rev)
+
+    ds = _read(
+        sf_dir, "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    ).map_batches(add_rev, batch_format="pyarrow")
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("revenue", alias_name="sum_revenue"),
+        Mean("l_discount", alias_name="avg_disc"),
+        Count(alias_name="n_rows"),
+    )
+
+    def round_cols(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "sum_qty": pc.round(t["sum_qty"], ndigits=2),
+                "sum_revenue": pc.round(t["sum_revenue"], ndigits=2),
+                "avg_disc": pc.round(t["avg_disc"], ndigits=6),
+                "n_rows": t["n_rows"],
+            }
+        )
+
+    return out.map_batches(round_cols, batch_format="pyarrow")
+
+
+SQL_GROUPBY_FOLD = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                          AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)  AS sum_revenue,
+       round(avg(l_discount), 6)                          AS avg_disc,
+       count(*)                                           AS n_rows
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# -- #14 global fold (partial per partition + final combine) -----------------
+
+
+def q_fold_global(sf_dir: str):
+    """Global aggregate (Flame ``rdd.fold``, ``src/flame/Worker.java:756-806``):
+    partial per-batch sums combined by ``Dataset.aggregate``."""
+    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+    out = ds.aggregate(
+        Sum("l_quantity", alias_name="total_qty"),
+        Sum("l_extendedprice", alias_name="total_price"),
+        Count(alias_name="n_rows"),
+    )
+    return pa.table(
+        {
+            "total_qty": pa.array([round(out["total_qty"], 2)], pa.float64()),
+            "total_price": pa.array([round(out["total_price"], 2)], pa.float64()),
+            "n_rows": pa.array([out["n_rows"]], pa.int64()),
+        }
+    )
+
+
+SQL_FOLD_GLOBAL = """
+SELECT round(sum(l_quantity), 2)      AS total_qty,
+       round(sum(l_extendedprice), 2) AS total_price,
+       count(*)                       AS n_rows
+FROM lineitem
+"""
+
+
+# -- #10 distinct ------------------------------------------------------------
+
+
+def q_distinct(sf_dir: str):
+    """Exact distinct (Flame ``rdd.distinct`` collapses duplicates via
+    KVS row keys, ``src/flame/Worker.java:708-754``; Ray: ``unique``)."""
+    vals = sorted(_read(sf_dir, "customer", ["c_mktsegment"]).unique("c_mktsegment"))
+    return pa.table({"c_mktsegment": pa.array(vals, pa.string())})
+
+
+SQL_DISTINCT = "SELECT DISTINCT c_mktsegment FROM customer"
+
+
+# -- #22 join (broadcast small side — `pair.join` is an index-nested-loop) ---
+
+
+def q_join_broadcast(sf_dir: str):
+    """orders ⋈ customer on custkey (Flame ``pair.join``,
+    ``src/flame/Worker.java:808-890``, does per-key point lookups into the
+    other table — i.e. an index-nested-loop join).  Ray: the small side is
+    broadcast once via ``ray.put`` and each batch does a vectorized
+    dictionary lookup — no shuffle."""
+    cust = (
+        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        .to_pandas()
+    )
+    lookup_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+    def join_fn(t: pa.Table) -> pa.Table:
+        lookup = ray.get(lookup_ref)
+        segs = [lookup.get(k) for k in t["o_custkey"].to_pylist()]
+        return t.append_column("c_mktsegment", pa.array(segs, pa.string()))
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        join_fn, batch_format="pyarrow"
+    )
+    out = ds.groupby("c_mktsegment").aggregate(
+        Sum("o_totalprice", alias_name="sum_price"),
+        Count(alias_name="n_orders"),
+    )
+
+    def round_cols(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_mktsegment": t["c_mktsegment"],
+                "sum_price": pc.round(t["sum_price"], ndigits=2),
+                "n_orders": t["n_orders"],
+            }
+        )
+
+    return out.map_batches(round_cols, batch_format="pyarrow")
+
+
+SQL_JOIN_BROADCAST = """
+SELECT c.c_mktsegment,
+       round(sum(o.o_totalprice), 2) AS sum_price,
+       count(*)                      AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+# -- #11 intersection (broadcast semi-join) ----------------------------------
+
+
+def q_intersection(sf_dir: str):
+    """Flame ``rdd.intersection`` loads the whole other table into a
+    HashSet per worker (``src/flame/Worker.java:295-355``); Ray: broadcast
+    the small distinct set, filter + unique."""
+    part_keys = set(_read(sf_dir, "part", ["p_partkey"]).unique("p_partkey"))
+    keys_ref = ray.put(part_keys)
+
+    def semi(t: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        vals = [k for k in t["l_partkey"].to_pylist() if k in keys]
+        return pa.table({"partkey": pa.array(sorted(set(vals)), pa.int64())})
+
+    ds = _read(sf_dir, "lineitem", ["l_partkey"]).map_batches(
+        semi, batch_format="pyarrow"
+    )
+    vals = sorted(set(ds.unique("partkey")))
+    return pa.table({"partkey": pa.array(vals, pa.int64())})
+
+
+SQL_INTERSECTION = """
+SELECT DISTINCT l_partkey AS partkey FROM lineitem
+INTERSECT
+SELECT DISTINCT p_partkey AS partkey FROM part
+"""
+
+
+# -- #12 sample (deterministic seeded Bernoulli via md5) ---------------------
+
+
+def q_sample(sf_dir: str):
+    """Flame ``rdd.sample`` uses an unseeded Random per partition
+    (``src/flame/Worker.java:357-397``) — nondeterministic.  Our engine
+    makes sampling reproducible: keep rows where the first 8 hex chars of
+    ``md5(o_orderkey)`` fall under p·2^32 (p = 0.1)."""
+    threshold = int(0.1 * (1 << 32))
+
+    def fn(t: pa.Table) -> pa.Table:
+        keys = t["o_orderkey"].to_pylist()
+        keep = [
+            i
+            for i, k in enumerate(keys)
+            if int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16) < threshold
+        ]
+        return t.take(keep)
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+    out = ds.aggregate(
+        Sum("o_totalprice", alias_name="sum_price"), Count(alias_name="n")
+    )
+    return pa.table(
+        {
+            "sum_price": pa.array([round(out["sum_price"] or 0.0, 2)], pa.float64()),
+            "n": pa.array([out["n"]], pa.int64()),
+        }
+    )
+
+
+SQL_SAMPLE = """
+SELECT round(sum(o_totalprice), 2) AS sum_price, count(*) AS n
+FROM orders
+WHERE CAST(('0x' || substring(md5(o_orderkey::VARCHAR), 1, 8)) AS UBIGINT)
+      < CAST(429496729 AS UBIGINT) * 1
+"""
+
+
+# -- #17 take / Q7 top-k (distributed sort + limit) --------------------------
+
+
+def q_topk(sf_dir: str):
+    """Top-20 orders by totalprice (query-side sort+page, SURVEY §2.7 Q7;
+    Ray: ``sort(descending).limit``)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderdate"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(20)
+
+
+SQL_TOPK = """
+SELECT o_orderkey, o_totalprice, o_orderdate
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+"""
+
+
+# -- #15 count ---------------------------------------------------------------
+
+
+def q_count(sf_dir: str):
+    n = _read(sf_dir, "lineitem", ["l_orderkey"]).count()
+    return pa.table({"n": pa.array([n], pa.int64())})
+
+
+SQL_COUNT = "SELECT count(*) AS n FROM lineitem"

@@ -1,0 +1,124 @@
+"""End-to-end search pipeline: crawl → index → pagerank → tfidf → query.
+
+The `pipeline` command of the reference (``ci_cd/build.sh:536-543``)
+chained Indexer → PageRank → TfIdf over an existing pt-crawl; this
+module is the same chain over our crawl output, exposed both as a
+library entry and as driver-contract queries (rows-only; the exact
+conformance oracles run in tests/test_downstream.py).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..sources.synthetic_web import CrawlParams, WebConfig
+
+
+def load_texts(sf_dir: str, limit: int = 2000) -> tuple[str, ...]:
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+    return tuple(t["text"].to_pylist()[:limit])
+
+
+def crawl_corpus(sf_dir: str, n_docs: int = 600, n_hosts: int = 16,
+                 target: int = 200, waves: int = 8):
+    """Deterministic crawl over the sf-derived synthetic web; returns
+    (pages_table, engine)."""
+    from .crawl import CrawlEngine
+
+    cfg = WebConfig(n_docs=n_docs, n_hosts=n_hosts, texts=load_texts(sf_dir))
+    params = CrawlParams(target_pages=target, max_waves=waves, n_seeds=8)
+    eng = CrawlEngine(cfg, params, n_host_shards=4, n_seen_shards=4)
+    eng.run()
+    return eng.pages_table(), eng
+
+
+def q_crawl_pages(sf_dir: str) -> pa.Table:
+    """The north-rule crawl itself (rows-only driver check; exact
+    equality vs the reference-semantics oracle is in tests/)."""
+    pages, _ = crawl_corpus(sf_dir)
+    return pages.select(
+        ["url_hash", "url", "response_code", "content_type", "length", "wave"]
+    )
+
+
+def q_search_index(sf_dir: str) -> pa.Table:
+    """Crawl → inverted index (word, postings-as-string, count, full)."""
+    from .index import build_index
+
+    pages, _ = crawl_corpus(sf_dir)
+    tbl = build_index(pages)
+    postings = pa.array(
+        [",".join(p) for p in tbl["postings"].to_pylist()], pa.string()
+    )
+    return pa.table(
+        {
+            "word": tbl["word"],
+            "postings": postings,
+            "cnt": tbl["count"],
+            "full": tbl["full"],
+        }
+    )
+
+
+def q_search_pagerank(sf_dir: str) -> pa.Table:
+    """Crawl → PageRank table (scores rounded for stable hashing)."""
+    import pyarrow.compute as pc
+
+    from .pagerank import run_pagerank
+
+    pages, _ = crawl_corpus(sf_dir)
+    tbl = run_pagerank(pages)
+    return tbl.set_column(
+        tbl.schema.get_field_index("pagerank"),
+        "pagerank",
+        pc.round(tbl["pagerank"], ndigits=8),
+    )
+
+
+def q_search_tfidf(sf_dir: str) -> pa.Table:
+    import pyarrow.compute as pc
+
+    from .index import build_index
+    from .tfidf import run_tfidf
+
+    pages, _ = crawl_corpus(sf_dir)
+    tbl = run_tfidf(pages, build_index(pages))
+    for col in ("tf", "idf", "tfidf"):
+        tbl = tbl.set_column(
+            tbl.schema.get_field_index(col), col, pc.round(tbl[col], ndigits=8)
+        )
+    return tbl
+
+
+def q_search_results(sf_dir: str) -> pa.Table:
+    """Full serving path: fixed queries → ranked results."""
+    from .index import build_index
+    from .pagerank import run_pagerank
+    from .query import QueryEngine
+    from .tfidf import run_tfidf
+
+    pages, _ = crawl_corpus(sf_dir)
+    index_tbl = build_index(pages)
+    qe = QueryEngine(
+        index_tbl, run_tfidf(pages, index_tbl), run_pagerank(pages)
+    )
+    words = sorted(qe.index)[:8]
+    queries = [words[0] if words else "test"]
+    if len(words) >= 4:
+        queries += [" ".join(words[:2]), " ".join(words[2:4])]
+    rows = {"query": [], "rank": [], "url": [], "score": []}
+    for q in queries:
+        for rank, r in enumerate(qe.search(q)):
+            rows["query"].append(q)
+            rows["rank"].append(rank)
+            rows["url"].append(r["url"])
+            rows["score"].append(round(r["score"], 8))
+    return pa.table(
+        {
+            "query": pa.array(rows["query"], pa.string()),
+            "rank": pa.array(rows["rank"], pa.int32()),
+            "url": pa.array(rows["url"], pa.string()),
+            "score": pa.array(rows["score"], pa.float64()),
+        }
+    )

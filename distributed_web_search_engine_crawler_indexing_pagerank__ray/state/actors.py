@@ -1,0 +1,339 @@
+"""Sharded stateful actors: per-host politeness scheduler + URL-seen set.
+
+North-rule components (BASELINE.json): the frontier is hash-partitioned
+by hostname; each :class:`HostShard` owns the politeness state (robots
+cache, ``lastAccess``/next-fetch-time, per-host page counts) for the
+hostnames that hash to it — the *global, exact* version of the
+reference's per-worker ``hostCounts`` + shared ``hosts`` KVS table
+(``src/jobs/Crawler.java:46-48,676-762``; deviation documented in
+SURVEY.md §7.3).  Each :class:`SeenShard` owns a slice of the URL-seen
+set (``pt-crawl-visited``) and of the frontier queue
+(``pt-crawl-queue``), fronted by a bloom prefilter and a cuckoo filter
+with the exact string set as the authority.
+
+Wave protocol (single fused Dataset job per wave, see
+``pipelines/crawl.py``):
+
+- ``HostShard.admit_groups`` — called once per (block × shard) with
+  COMPLETE host groups (the driver splits frontier blocks at host
+  boundaries), walks each group in sorted ``(host_key, url_hash)``
+  order at virtual instant ``t_k``.  Committed host counts are frozen
+  during the wave (reads see wave-start values + the group's own
+  increments); deltas commit in ``end_wave``.  Decisions are therefore
+  independent of block/actor scheduling order.
+- ``SeenShard`` — membership probes during a wave see the wave-start
+  visited set; mutations (enqueues, completion deletes, visited adds,
+  saved keys) are BUFFERED and applied in ``reconcile`` at the wave
+  barrier in a fixed order: enqueues → deletes → visited adds (a
+  completion's delete wins over a same-wave re-enqueue).  This is the
+  determinization documented in ``oracle/crawl_oracle.py``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from ..functions.robots import (
+    extract_crawl_delay,
+    select_rules,
+)
+from ..functions.urlnorm import extract_path
+from ..sources.synthetic_web import SyntheticWeb, WebConfig
+from .filters import ScalableSeenFilters
+
+DEFAULT_DELAY = 1.0
+
+D_HIT = "hit"  # HEAD connects: proceed to fetch stage; completed
+D_MISS = "miss"  # HEAD connect failure: completed, no lastAccess touch
+D_ROBOTS = "robots"  # robots denied: completed, lastAccess touched
+D_THROTTLE = "throttle"  # politeness: stays in queue, no output
+D_NOCAP = "nocap"  # per-host page cap exceeded: completed
+D_NOHOST = "nohost"  # hostname unresolved: completed
+
+COMPLETED_DECISIONS = (D_HIT, D_MISS, D_ROBOTS, D_NOCAP, D_NOHOST)
+
+
+def key64(s: str) -> int:
+    """First 8 bytes of SHA-1 — companion integer key for the filters."""
+    return int.from_bytes(hashlib.sha1(s.encode("utf-8")).digest()[:8], "big")
+
+
+def shard_of(s: str, n_shards: int) -> int:
+    return key64(s) % n_shards
+
+
+def ref_hash_and_key64(url: str) -> tuple[str, int]:
+    """Both derived keys from ONE SHA-1 computation."""
+    digest = hashlib.sha1(url.encode("utf-8")).digest()
+    from ..functions.hasher import _U2CHARS  # table lookup, no rehash
+
+    return "".join(_U2CHARS[b] for b in digest), int.from_bytes(digest[:8], "big")
+
+
+@ray.remote
+class HostShard:
+    """Politeness / robots / host-cap state for one hostname shard.
+
+    Create via ``HostShard.options(num_cpus=...)`` — at bench/cluster
+    scale the shards RESERVE a core each so the task pool is sized
+    against what is actually left (running Ray actors default to 0
+    CPUs, which oversubscribes the node invisibly and anti-scales the
+    crawl at high ``num_cpus``); tests use the 0-CPU default."""
+
+    def __init__(self, shard_id: int, web_cfg: WebConfig, params_dict: dict,
+                 fidelity: str = "reference"):
+        self.shard_id = shard_id
+        self.web = SyntheticWeb(web_cfg)
+        self.max_pages_per_host = params_dict["max_pages_per_host"]
+        self.fidelity = fidelity
+        # host_key -> [last_access, robots_fetched, robots_status,
+        #              robots_txt, crawl_delay, parsed_rules, delay_ms]
+        self.hosts: dict[str, list] = {}
+        self.counts: dict[str, int] = {}  # committed hostname counts
+        self.wave_delta: dict[str, int] = {}  # this wave's increments
+        self.wave_stats = {"throttled": 0, "attempted": 0}
+
+    # -- robots cache (Crawler.java:707-762) ---------------------------------
+
+    def _ensure_robots(self, host_key: str) -> list:
+        st = self.hosts.get(host_key)
+        if st is None:
+            st = [0, False, -1, "", None, None, 1000]
+            self.hosts[host_key] = st
+        if not st[1]:
+            status, body = self.web.robots_for_hostkey(host_key)
+            st[1] = True
+            st[2] = status
+            st[3] = body
+            if 200 <= status < 300 and body:
+                cd = extract_crawl_delay(body)
+                if cd is not None:
+                    st[4] = float(cd)
+            # parse once per host; per-URL eval is rule-list only
+            st[5] = select_rules(status, body)
+            d = st[4] if st[4] is not None else DEFAULT_DELAY
+            st[6] = int(math.ceil(d * 1000.0))
+        return st
+
+    # -- wave admission (the per-host priority-queue walk) -------------------
+
+    def admit_groups(
+        self,
+        wave_idx: int,
+        t_k: int,
+        host_keys: list[str],
+        groups: list[list[tuple]],
+    ) -> pa.Table:
+        """Admission for complete host groups (one list entry per
+        host_key; members pre-sorted by url_hash by the caller; each
+        member is ``(url, url_hash, hostname, path, in_universe,
+        countable)`` — all pure derivations precomputed in the parallel
+        admit stage so this serial walk touches only shard state).
+
+        Mirrors the oracle's phase-1 walk: all attempts at ``t_k``,
+        lastAccess updates within the group gate later members, cap
+        reads = committed counts + this group's own increments.
+        """
+        from ..functions.robots import robots_allows_parsed
+
+        reference_mode = self.fidelity == "reference"
+        counts = self.counts
+        cap = self.max_pages_per_host
+        urls_out: list[str] = []
+        hashes_out: list[str] = []
+        dec_out: list[str] = []
+        throttled = 0
+        for host_key, group in zip(host_keys, groups):
+            in_group: dict[str, int] = {}
+            st = None
+            for url, url_hash, hn, path, in_univ, countable in group:
+                if hn == "":
+                    dec = D_NOHOST
+                elif counts.get(hn, 0) + in_group.get(hn, 0) >= cap:
+                    dec = D_NOCAP
+                else:
+                    if st is None:
+                        st = self._ensure_robots(host_key)
+                    if (t_k - st[0]) < st[6]:
+                        dec = D_THROTTLE
+                        throttled += 1
+                    elif st[5] is not None and not robots_allows_parsed(
+                        st[5], path, reference_mode
+                    ):
+                        st[0] = t_k
+                        dec = D_ROBOTS
+                    elif not in_univ:
+                        dec = D_MISS
+                    else:
+                        st[0] = t_k
+                        dec = D_HIT
+                        if countable:
+                            in_group[hn] = in_group.get(hn, 0) + 1
+                urls_out.append(url)
+                hashes_out.append(url_hash)
+                dec_out.append(dec)
+            for hn, c in in_group.items():
+                self.wave_delta[hn] = self.wave_delta.get(hn, 0) + c
+        self.wave_stats["throttled"] += throttled
+        self.wave_stats["attempted"] += len(urls_out)
+        return pa.table(
+            {
+                "url": pa.array(urls_out, pa.string()),
+                "url_hash": pa.array(hashes_out, pa.string()),
+                "decision": pa.array(dec_out, pa.string()),
+            }
+        )
+
+    def end_wave(self) -> tuple[dict, dict]:
+        """Commit this wave's count deltas; return (counts, stats)."""
+        for hn, c in self.wave_delta.items():
+            self.counts[hn] = self.counts.get(hn, 0) + c
+        self.wave_delta = {}
+        stats = dict(self.wave_stats)
+        self.wave_stats = {"throttled": 0, "attempted": 0}
+        return dict(self.counts), stats
+
+    def get_counts(self) -> dict:
+        return dict(self.counts)
+
+    # -- checkpoint ----------------------------------------------------------
+
+    def snapshot(self) -> dict:
+        return {
+            "shard_id": self.shard_id,
+            "hosts": {k: list(v) for k, v in self.hosts.items()},
+            "counts": dict(self.counts),
+        }
+
+    def restore(self, snap: dict) -> None:
+        self.hosts = {k: list(v) for k, v in snap["hosts"].items()}
+        self.counts = dict(snap["counts"])
+
+
+@ray.remote
+class SeenShard:
+    """One shard of the URL-seen set + frontier queue + crawl-key count.
+
+    Reads during a wave see the committed (wave-start) state; writes
+    buffer until ``reconcile``."""
+
+    def __init__(self, shard_id: int, n_bloom_bits: int = 1 << 20,
+                 n_cuckoo_buckets: int = 1 << 15):
+        self.shard_id = shard_id
+        self.visited: dict[str, str] = {}  # url_hash -> url (exact authority)
+        self.queue: dict[str, str] = {}  # url_hash -> url
+        self.saved: set[str] = set()  # pt-crawl keys
+        self.filters = ScalableSeenFilters(
+            n_bits=n_bloom_bits, n_buckets=n_cuckoo_buckets
+        )
+        self.stats = {"probes": 0, "bloom_neg": 0, "filter_fp": 0}
+        self._buf_enqueue: list[tuple[str, str]] = []  # (hash, url)
+        self._buf_complete: list[tuple[str, str, int]] = []  # (hash, url, key64)
+        self._buf_saved: list[str] = []
+
+    # -- wave-time operations (buffered writes, snapshot reads) --------------
+
+    def probe_and_buffer_enqueue(self, urls: list[str], hashes: list[str],
+                                 keys64: list[int]) -> list[bool]:
+        """C18 membership check against the wave-start visited set;
+        True = not seen → survivor, enqueue buffered."""
+        out = []
+        keys = np.asarray(keys64, dtype=np.uint64)
+        maybe = self.filters.contains_many(keys)
+        self.stats["probes"] += len(urls)
+        for i, (u, h) in enumerate(zip(urls, hashes)):
+            if not maybe[i]:
+                self.stats["bloom_neg"] += 1
+                seen = False
+            else:
+                seen = h in self.visited
+                if not seen:
+                    self.stats["filter_fp"] += 1
+            if seen:
+                out.append(False)
+            else:
+                self._buf_enqueue.append((h, u))
+                out.append(True)
+        return out
+
+    def buffer_complete(self, urls: list[str], hashes: list[str],
+                        keys64: list[int]) -> int:
+        self._buf_complete.extend(zip(hashes, urls, keys64))
+        return len(urls)
+
+    def buffer_saved(self, hashes: list[str]) -> int:
+        self._buf_saved.extend(hashes)
+        return len(hashes)
+
+    # -- wave barrier ---------------------------------------------------------
+
+    def reconcile(self, record: bool = False) -> dict:
+        """Apply the wave's buffered ops: enqueues → completion deletes
+        → visited adds → saved keys.  Returns state sizes (+ the newly
+        visited URLs when ``record``)."""
+        for h, u in self._buf_enqueue:
+            self.queue[h] = u
+        new_urls: list[str] = []
+        add_keys: list[int] = []
+        for h, u, k in self._buf_complete:
+            self.queue.pop(h, None)
+        for h, u, k in self._buf_complete:
+            if h not in self.visited:
+                self.visited[h] = u
+                new_urls.append(u)
+                add_keys.append(k)
+        self.filters.add_batch(add_keys)
+        self.saved.update(self._buf_saved)
+        self._buf_enqueue = []
+        self._buf_complete = []
+        self._buf_saved = []
+        out = {
+            "visited": len(self.visited),
+            "queue": len(self.queue),
+            "saved": len(self.saved),
+            "new_visited": len(new_urls),
+        }
+        if record:
+            out["new_visited_urls"] = new_urls
+        return out
+
+    def crawl_count(self) -> int:
+        return len(self.saved)
+
+    def queue_contents(self) -> pa.Table:
+        return pa.table({"url_hash": list(self.queue.keys()),
+                         "url": list(self.queue.values())})
+
+    def seen_contents(self) -> pa.Table:
+        return pa.table({"url_hash": list(self.visited.keys()),
+                         "url": list(self.visited.values())})
+
+    def get_stats(self) -> dict:
+        return dict(self.stats, visited=len(self.visited),
+                    queue=len(self.queue), saved=len(self.saved),
+                    cuckoo_items=self.filters.cuckoo.n_items,
+                    filter_rebuilds=self.filters.rebuilds)
+
+    # -- checkpoint ----------------------------------------------------------
+
+    def snapshot(self) -> dict:
+        return {"visited": dict(self.visited), "queue": dict(self.queue),
+                "saved": sorted(self.saved)}
+
+    def restore(self, snap: dict) -> None:
+        self.visited = dict(snap["visited"])
+        self.queue = dict(snap["queue"])
+        self.saved = set(snap["saved"])
+        self.filters.add_batch([key64(u) for u in self.visited.values()])
+
+
+__all__ = [
+    "HostShard", "SeenShard", "key64", "shard_of", "ref_hash_and_key64",
+    "D_HIT", "D_MISS", "D_ROBOTS", "D_THROTTLE", "D_NOCAP", "D_NOHOST",
+    "COMPLETED_DECISIONS",
+]
