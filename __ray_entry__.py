@@ -24,6 +24,7 @@ import pyarrow.parquet as pq
 from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines import (
     dedup,
     events,
+    multimodal,
     relational,
     search_pipeline,
     similarity,
@@ -84,6 +85,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_pagerank": search_pipeline.q_search_pagerank,
         "search_tfidf": search_pipeline.q_search_tfidf,
         "search_results": search_pipeline.q_search_results,
+        # multimodal (decode STUBBED — no codecs in this env; plumbing real)
+        "media_features": multimodal.q_media_features,
     }
 
 

@@ -1,0 +1,122 @@
+"""Table catalog: the durable-table layer (reference KVS `pt-` tables).
+
+The reference persists durable tables as one-file-per-row KVS
+directories (``src/kvs/Worker.java:32-77``) and implements
+``saveAsTable`` as an in-place rename (``src/kvs/Worker.java:348-405``).
+Here a table is a partitioned parquet DIRECTORY under a catalog root
+(the Lance-shaped layout of the north rule — ``write_lance`` is the
+drop-in swap once the package is available; parquet directories keep
+the same discipline: one dir per table, atomic rename via a temp dir +
+``os.replace``, partition subdirectories for resumability).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+
+class TableCatalog:
+    """Named durable tables rooted at one directory."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def path(self, name: str) -> str:
+        if "/" in name or name.startswith("."):
+            raise ValueError(f"bad table name: {name!r}")
+        return os.path.join(self.root, name)
+
+    def exists(self, name: str) -> bool:
+        return os.path.isdir(self.path(name))
+
+    def list_tables(self) -> list[str]:
+        return sorted(
+            d for d in os.listdir(self.root)
+            if os.path.isdir(os.path.join(self.root, d))
+        )
+
+    # -- write (atomic: temp dir then rename) --------------------------------
+
+    def write(self, name: str, data, mode: str = "overwrite") -> str:
+        """data: Dataset or Arrow table.  Atomic overwrite via temp dir
+        (the engine's version of KVS rename semantics)."""
+        final = self.path(name)
+        tmp = final + ".tmp"
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        if isinstance(data, pa.Table):
+            os.makedirs(tmp, exist_ok=True)
+            pq.write_table(data, os.path.join(tmp, "part-0.parquet"))
+        else:
+            data.write_parquet(tmp)
+        if mode == "overwrite" and os.path.isdir(final):
+            old = final + ".old"
+            os.replace(final, old)
+            os.replace(tmp, final)
+            shutil.rmtree(old)
+        else:
+            os.replace(tmp, final)
+        return final
+
+    def rename(self, src: str, dst: str) -> None:
+        """``kvs.rename`` / ``saveAsTable`` (#18): atomic directory swap."""
+        dst_path = self.path(dst)
+        if os.path.isdir(dst_path):
+            shutil.rmtree(dst_path)
+        os.replace(self.path(src), dst_path)
+
+    def delete(self, name: str) -> None:
+        if self.exists(name):
+            shutil.rmtree(self.path(name))
+
+    # -- read ---------------------------------------------------------------
+
+    def read(self, name: str, columns: list[str] | None = None):
+        """Lazy Dataset over the table directory (column-pruned read)."""
+        return ray.data.read_parquet(self.path(name), columns=columns)
+
+    def read_arrow(self, name: str) -> pa.Table:
+        return pq.read_table(self.path(name))
+
+    def count(self, name: str) -> int:
+        """``kvs.count`` from parquet metadata (no data read)."""
+        total = 0
+        for dirpath, _dirs, files in os.walk(self.path(name)):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += pq.ParquetFile(os.path.join(dirpath, f)).metadata.num_rows
+        return total
+
+
+class JobContext:
+    """The user-extension surface (SURVEY §2.8): the reference accepts
+    any class with ``public static run(FlameContext, String[])`` via JAR
+    submit (``src/flame/Coordinator.java:94-110``); here a job is any
+    callable ``run(ctx, args)`` where ``ctx`` wraps the table catalog +
+    the flame-compat operator set + raw ``ray.data``."""
+
+    def __init__(self, catalog: TableCatalog):
+        self.catalog = catalog
+        from ..pipelines import flame_compat
+
+        self.ops = flame_compat
+        self.data = ray.data
+        self.output_lines: list[str] = []
+
+    def output(self, line: str) -> None:  # FlameContext.output
+        self.output_lines.append(line)
+
+
+def run_job(job, catalog_root: str, args: list[str] | None = None):
+    """Submit-and-run: ``job`` is a callable or a module with ``run``.
+    (``ray job submit`` wraps a script that calls this.)"""
+    fn = job.run if hasattr(job, "run") else job
+    ctx = JobContext(TableCatalog(catalog_root))
+    result = fn(ctx, args or [])
+    return ctx, result

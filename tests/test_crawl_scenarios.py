@@ -1,0 +1,99 @@
+"""FIXTURES.md §5 scenario checklist: host cap, hot-host skew,
+redirects, strict-robots mode — oracle/engine equality per scenario."""
+
+import pytest
+
+from distributed_web_search_engine_crawler_indexing_pagerank__ray.oracle.crawl_oracle import (
+    CrawlOracle,
+)
+from distributed_web_search_engine_crawler_indexing_pagerank__ray.sources.synthetic_web import (
+    CrawlParams,
+    SyntheticWeb,
+    WebConfig,
+)
+
+
+def run_pair(cfg, params, ray_session=None, **engine_kwargs):
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines.crawl import (
+        CrawlEngine,
+    )
+
+    o = CrawlOracle(SyntheticWeb(cfg), params)
+    o.run()
+    eng = CrawlEngine(cfg, params, n_host_shards=3, n_seen_shards=3,
+                      **engine_kwargs)
+    eng.run()
+    return o, eng
+
+
+def test_host_cap_scenario(ray_session):
+    """Scenario 7: a tiny cap forces nocap decisions; engine matches
+    the (global, exact) cap oracle."""
+    cfg = WebConfig(n_docs=300, n_hosts=4, zipf_s=1.4)  # few, hot hosts
+    params = CrawlParams(target_pages=500, max_waves=14, n_seeds=6,
+                         max_pages_per_host=3)
+    o, eng = run_pair(cfg, params)
+    assert eng.seen_set() == o.visited
+    assert eng.pages_total == len(o.crawl)
+    counts = {k: v for k, v in eng.summary()["host_counts"].items() if v}
+    assert counts == o.host_counts
+    assert all(v <= 3 for v in counts.values())
+    assert max(counts.values()) == 3  # the cap actually bound
+
+
+def test_hot_host_skew_scenario(ray_session):
+    """Scenario 9: heavy Zipf skew; block splitting keeps host groups
+    whole and equality holds."""
+    cfg = WebConfig(n_docs=400, n_hosts=6, zipf_s=1.6)
+    params = CrawlParams(target_pages=200, max_waves=10, n_seeds=6)
+    o, eng = run_pair(cfg, params, fetch_batch_size=16)  # many tiny blocks
+    assert eng.seen_set() == o.visited
+    assert eng.queue_set() == o.queue
+
+
+def test_redirect_targets_fetched(ray_session):
+    """Scenario 2: 301 pages emit normalized targets into the frontier;
+    targets get crawled in later waves."""
+    cfg = WebConfig(n_docs=250, n_hosts=8)
+    params = CrawlParams(target_pages=120, max_waves=10, n_seeds=6)
+    o, eng = run_pair(cfg, params)
+    web = SyntheticWeb(cfg)
+    redirects_seen = [
+        u for u in o.visited.values()
+        if (m := web.page_meta(u)) is not None and m["status"] == 301
+    ]
+    assert redirects_seen, "fixture must include redirect pages"
+    assert eng.seen_set() == o.visited
+
+
+def test_strict_robots_mode(ray_session):
+    """fidelity='strict' fixes the reference's rule-separator bug:
+    Disallow rules actually deny; oracle and engine agree in both
+    modes and strict crawls no /private/ path on pattern-1 hosts."""
+    cfg = WebConfig(n_docs=250, n_hosts=8)
+    params = CrawlParams(target_pages=120, max_waves=8, n_seeds=6)
+    o_strict = CrawlOracle(SyntheticWeb(cfg), params, fidelity="strict")
+    o_strict.run()
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines.crawl import (
+        CrawlEngine,
+    )
+
+    eng = CrawlEngine(cfg, params, n_host_shards=2, n_seen_shards=2,
+                      fidelity="strict")
+    eng.run()
+    assert eng.seen_set() == o_strict.visited
+    web = SyntheticWeb(cfg)
+    for row in o_strict.crawl.values():
+        if "/private/" in row["url"]:
+            hid = web.host_of(web.doc_index_of(row["url"]))
+            assert web.robots_policy(hid) not in (1, 2), row["url"]
+
+
+def test_reference_mode_crawls_private_paths(ray_session):
+    """The reference's robots eval bug means Disallow is a no-op —
+    /private/ pages DO get crawled in fidelity='reference'."""
+    cfg = WebConfig(n_docs=250, n_hosts=8)
+    params = CrawlParams(target_pages=120, max_waves=8, n_seeds=6)
+    o = CrawlOracle(SyntheticWeb(cfg), params)
+    o.run()
+    assert any("/private/" in u for u in (r["url"] for r in o.crawl.values()))

@@ -1,0 +1,59 @@
+"""Membership filters: bloom (no false negatives), cuckoo (insert /
+lookup / delete / rebuild-on-load)."""
+
+import numpy as np
+
+from distributed_web_search_engine_crawler_indexing_pagerank__ray.state.filters import (
+    BloomFilter,
+    CuckooFilter,
+    ScalableSeenFilters,
+)
+
+
+def test_bloom_no_false_negatives():
+    b = BloomFilter(n_bits=1 << 16)
+    keys = np.arange(1, 5000, dtype=np.uint64) * np.uint64(2654435761)
+    b.add_many(keys)
+    assert b.contains_many(keys).all()
+
+
+def test_bloom_false_positive_rate_reasonable():
+    b = BloomFilter(n_bits=1 << 17, k=4)
+    keys = np.arange(1, 5000, dtype=np.uint64) * np.uint64(2654435761)
+    b.add_many(keys)
+    probe = np.arange(10_000_000, 10_005_000, dtype=np.uint64)
+    fp = b.contains_many(probe).mean()
+    assert fp < 0.05
+
+
+def test_cuckoo_insert_contains_delete():
+    c = CuckooFilter(n_buckets=1 << 10)
+    keys = [k * 2654435761 % (1 << 61) for k in range(1, 2000)]
+    for k in keys:
+        assert c.add(k)
+    assert all(c.contains(k) for k in keys)
+    for k in keys[:500]:
+        assert c.delete(k)
+    assert c.n_items == len(keys) - 500
+
+
+def test_cuckoo_load_and_failure_counted():
+    c = CuckooFilter(n_buckets=1 << 4, max_kicks=16)  # tiny: force overflow
+    added = 0
+    for k in range(1, 500):
+        if c.add(k * 7919):
+            added += 1
+    assert c.n_failed > 0
+    assert added == c.n_items
+
+
+def test_scalable_filters_rebuild_keeps_members():
+    f = ScalableSeenFilters(n_bits=1 << 10, n_buckets=1 << 4)
+    keys = [k * 2654435761 % (1 << 61) for k in range(1, 3000)]
+    for i in range(0, len(keys), 100):
+        f.add_batch(keys[i : i + 100])
+    assert f.rebuilds > 0
+    assert f.cuckoo.load < 0.85
+    # bloom has no false negatives after rebuilds
+    assert f.contains_many(np.asarray(keys, dtype=np.uint64)).all()
+    assert all(f.cuckoo.contains(k) for k in keys[:200])

@@ -1,0 +1,56 @@
+"""Table catalog + job-submission surface."""
+
+import pyarrow as pa
+import pytest
+
+from distributed_web_search_engine_crawler_indexing_pagerank__ray.sources.tables import (
+    JobContext,
+    TableCatalog,
+    run_job,
+)
+
+
+@pytest.fixture(autouse=True)
+def _ray(ray_session):
+    yield
+
+
+def test_write_read_rename_delete(tmp_path):
+    cat = TableCatalog(str(tmp_path))
+    t = pa.table({"value": pa.array(["a", "b"], pa.string())})
+    cat.write("rdd-1", t)
+    assert cat.exists("rdd-1")
+    assert cat.count("rdd-1") == 2
+    cat.rename("rdd-1", "pt-final")
+    assert cat.list_tables() == ["pt-final"]
+    assert sorted(cat.read_arrow("pt-final")["value"].to_pylist()) == ["a", "b"]
+    cat.delete("pt-final")
+    assert not cat.exists("pt-final")
+
+
+def test_atomic_overwrite(tmp_path):
+    cat = TableCatalog(str(tmp_path))
+    cat.write("t", pa.table({"x": [1, 2]}))
+    cat.write("t", pa.table({"x": [3]}))
+    assert cat.read_arrow("t")["x"].to_pylist() == [3]
+
+
+def test_run_job_with_flame_ops(tmp_path):
+    def my_job(ctx: JobContext, args):
+        ds = ctx.ops.parallelize(args)
+        words = ctx.ops.flat_map(ds, lambda s: s.split())
+        pairs = ctx.ops.map_to_pair(words, lambda w: (w, "1"))
+        counts = ctx.ops.fold_by_key(
+            pairs, "0", lambda a, b: str(int(a) + int(b))
+        )
+        ctx.catalog.write("pt-counts", counts)
+        ctx.output("done")
+        return ctx.catalog.count("pt-counts")
+
+    ctx, result = run_job(my_job, str(tmp_path), ["a b", "a c"])
+    assert ctx.output_lines == ["done"]
+    t = ctx.catalog.read_arrow("pt-counts")
+    assert dict(zip(t["key"].to_pylist(), t["value"].to_pylist())) == {
+        "a": "2", "b": "1", "c": "1"
+    }
+    assert result == 3
