@@ -93,7 +93,7 @@ def run_bench() -> dict:
         n_seen_shards=shards,
         fetch_concurrency=max(2, NUM_CPUS // 2),
         fetch_batch_size=512,
-        actor_num_cpus=1,
+        actor_num_cpus=float(os.environ.get("BENCH_ACTOR_CPUS", "1")),
     )
     eng.run()
     crawl_wall = time.time() - t0
