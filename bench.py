@@ -23,11 +23,11 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 # crawl workload knobs (same input at every parallelism level)
-N_DOCS = int(os.environ.get("BENCH_N_DOCS", "3000000"))
-N_HOSTS = int(os.environ.get("BENCH_N_HOSTS", "50000"))
-TARGET_PAGES = int(os.environ.get("BENCH_TARGET_PAGES", "150000"))
-MAX_WAVES = int(os.environ.get("BENCH_MAX_WAVES", "6"))
-N_SEEDS = int(os.environ.get("BENCH_N_SEEDS", "50000"))
+N_DOCS = int(os.environ.get("BENCH_N_DOCS", "6000000"))
+N_HOSTS = int(os.environ.get("BENCH_N_HOSTS", "100000"))
+TARGET_PAGES = int(os.environ.get("BENCH_TARGET_PAGES", "300000"))
+MAX_WAVES = int(os.environ.get("BENCH_MAX_WAVES", "5"))
+N_SEEDS = int(os.environ.get("BENCH_N_SEEDS", "100000"))
 ZIPF_S = float(os.environ.get("BENCH_ZIPF", "0.3"))
 PARAGRAPHS = int(os.environ.get("BENCH_PARAGRAPHS", "120"))
 LINKS = int(os.environ.get("BENCH_LINKS", "12"))
@@ -97,6 +97,7 @@ def run_bench() -> dict:
     )
     eng.run()
     crawl_wall = time.time() - t0
+    eng.cleanup()  # page payloads are tens of GB at bench scale
     pages = eng.pages_total
     attempts = sum(w["attempted"] for w in eng.waves)
 

@@ -150,6 +150,7 @@ class CrawlEngine:
         self.web_cfg = web_cfg
         self.params = params
         self.record_waves = record_waves
+        self._owns_out_dir = out_dir is None
         self.out_dir = out_dir or tempfile.mkdtemp(prefix="crawl_out_")
         self.checkpoint_dir = checkpoint_dir
         self.fetch_concurrency = fetch_concurrency
@@ -377,6 +378,15 @@ class CrawlEngine:
         for i, key in enumerate(tbl["url_hash"].to_pylist()):
             last[key] = i
         return tbl.take(sorted(last.values()))
+
+    def cleanup(self) -> None:
+        """Remove the engine-owned temp page store (page payloads at
+        bench scale are tens of GB — callers that only need metrics or
+        an in-memory pages_table MUST call this)."""
+        import shutil
+
+        if self._owns_out_dir and os.path.isdir(self.out_dir):
+            shutil.rmtree(self.out_dir, ignore_errors=True)
 
     def summary(self) -> dict:
         seen = self.seen_set()

@@ -30,7 +30,9 @@ def crawl_corpus(sf_dir: str, n_docs: int = 600, n_hosts: int = 16,
     params = CrawlParams(target_pages=target, max_waves=waves, n_seeds=8)
     eng = CrawlEngine(cfg, params, n_host_shards=4, n_seen_shards=4)
     eng.run()
-    return eng.pages_table(), eng
+    pages = eng.pages_table()  # small corpus: safe in memory
+    eng.cleanup()
+    return pages, eng
 
 
 def q_crawl_pages(sf_dir: str) -> pa.Table:

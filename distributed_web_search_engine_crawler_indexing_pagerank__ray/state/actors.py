@@ -42,7 +42,6 @@ from ..functions.robots import (
     extract_crawl_delay,
     select_rules,
 )
-from ..functions.urlnorm import extract_path
 from ..sources.synthetic_web import SyntheticWeb, WebConfig
 from .filters import ScalableSeenFilters
 
