@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_pagerank": search_pipeline.q_search_pagerank,
         "search_tfidf": search_pipeline.q_search_tfidf,
         "search_results": search_pipeline.q_search_results,
+        "search_suggest": search_pipeline.q_search_suggest,
         # multimodal (decode STUBBED — no codecs in this env; plumbing real)
         "media_features": multimodal.q_media_features,
     }

@@ -259,6 +259,7 @@ class CrawlEngine:
             p.max_pages_per_host,
             k,
             self.out_dir,
+            record=self.record_waves,
         )
         t_split = time.time()
         contrib_tbl = CONTRIB_SCHEMA.empty_table()
@@ -286,7 +287,6 @@ class CrawlEngine:
         fetched_urls = _of("fetched")
         survivors = _of("survivor")
         stats["fetched"] = len(fetched_urls)
-        stats["throttled"] = len(_of("throttle"))
         stats["enqueued"] = len(pc.unique(survivors))
 
         stats["t_driver_arrow"] = round(time.time() - t_drv, 3)
@@ -302,8 +302,10 @@ class CrawlEngine:
         recon = ray.get(recon_refs)
         ends = ray.get(end_refs)
         self.host_counts = {}
-        for counts, _ in ends:
+        stats["throttled"] = 0
+        for counts, wstats in ends:
             self.host_counts.update(counts)
+            stats["throttled"] += wstats["throttled"]
         self.pages_total = sum(r["saved"] for r in recon)
         stats["visited_added"] = sum(r["new_visited"] for r in recon)
         stats["queue_size"] = sum(r["queue"] for r in recon)

@@ -93,6 +93,39 @@ def q_search_tfidf(sf_dir: str) -> pa.Table:
     return tbl
 
 
+def q_search_suggest(sf_dir: str) -> pa.Table:
+    """Q2/Q3 serving path: spellcheck corrections + autocomplete
+    suggestions over the crawl-built dictionary (rows-only)."""
+    from .index import build_index
+    from .pagerank import run_pagerank
+    from .query import QueryEngine
+    from .tfidf import run_tfidf
+
+    pages, _ = crawl_corpus(sf_dir)
+    index_tbl = build_index(pages)
+    qe = QueryEngine(
+        index_tbl, run_tfidf(pages, index_tbl), run_pagerank(pages)
+    )
+    words = sorted(qe.index)[:10]
+    rows = {"kind": [], "input": [], "output": []}
+    for w in words:
+        typo = w[:-1] + ("x" if w[-1] != "x" else "y") if len(w) > 2 else w
+        rows["kind"].append("correct")
+        rows["input"].append(typo)
+        rows["output"].append(qe.correct(typo))
+        for s in qe.suggest(w[:2]):
+            rows["kind"].append("suggest")
+            rows["input"].append(w[:2])
+            rows["output"].append(s)
+    return pa.table(
+        {
+            "kind": pa.array(rows["kind"], pa.string()),
+            "input": pa.array(rows["input"], pa.string()),
+            "output": pa.array(rows["output"], pa.string()),
+        }
+    )
+
+
 def q_search_results(sf_dir: str) -> pa.Table:
     """Full serving path: fixed queries → ranked results."""
     from .index import build_index

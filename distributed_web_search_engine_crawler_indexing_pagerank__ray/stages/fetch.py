@@ -306,6 +306,7 @@ def make_fetch_post_stage(
     max_pages_per_host: int,
     wave_idx: int,
     out_dir: str | None,
+    record: bool = False,
 ):
     """Fetch admitted hits + run the link pipeline; emit frontier
     contributions (URL strings only) plus decision passthroughs.
@@ -342,9 +343,12 @@ def make_fetch_post_stage(
         others = batch.filter(pc.invert(hit_mask))
         contrib_urls: list[str] = []
         contrib_kinds: list[str] = []
-        # passthrough rows for non-hit decisions (stats / record mode)
-        contrib_urls.extend(others["url"].to_pylist())
-        contrib_kinds.extend(others["decision"].to_pylist())
+        if record:
+            # passthrough rows for non-hit decisions (record mode only —
+            # at bench scale these dominate the driver pull; throttle
+            # counts come from HostShard.end_wave stats instead)
+            contrib_urls.extend(others["url"].to_pylist())
+            contrib_kinds.extend(others["decision"].to_pylist())
 
         if hits.num_rows:
             ft = fetch_batch(
@@ -408,12 +412,21 @@ def make_fetch_post_stage(
                 for u in urls:
                     contrib_urls.append(u)
                     contrib_kinds.append("fetched")
+                # raw hrefs repeat heavily across pages (popular link
+                # targets) — batch-local dedup before the driver pull;
+                # the frontier is globally distinct anyway
+                raw_seen: set[str] = set()
                 for links in raw:
                     for href in links or []:
+                        if href in raw_seen:
+                            continue
+                        raw_seen.add(href)
                         contrib_urls.append(href)
                         contrib_kinds.append("raw")
+                surv_seen: set[str] = set()
                 for i, b in zip(order, flat):
-                    if b:
+                    if b and c_urls[i] not in surv_seen:
+                        surv_seen.add(c_urls[i])
                         contrib_urls.append(c_urls[i])
                         contrib_kinds.append("survivor")
         return pa.table(
