@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fold_global": relational.q_fold_global,
         "distinct": relational.q_distinct,
         "join_broadcast": relational.q_join_broadcast,
+        "join_shuffle": relational.q_join_shuffle,
         "intersection": relational.q_intersection,
         "sample": relational.q_sample,
         "topk": relational.q_topk,
@@ -98,6 +99,7 @@ def oracle_sql() -> dict[str, str]:
         "fold_global": relational.SQL_FOLD_GLOBAL,
         "distinct": relational.SQL_DISTINCT,
         "join_broadcast": relational.SQL_JOIN_BROADCAST,
+        "join_shuffle": relational.SQL_JOIN_SHUFFLE,
         "intersection": relational.SQL_INTERSECTION,
         "sample": relational.SQL_SAMPLE,
         "topk": relational.SQL_TOPK,

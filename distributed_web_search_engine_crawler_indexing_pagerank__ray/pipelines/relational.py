@@ -204,6 +204,96 @@ GROUP BY c.c_mktsegment
 """
 
 
+# -- #22 join, large-large variant: partitioned (bucketed) hash join ---------
+
+
+JOIN_BUCKETS = 16
+
+
+def q_join_shuffle(sf_dir: str):
+    """orders ⋈ lineitem on orderkey — both sides large, so no
+    broadcast: add ``bucket = key % B`` to both sides, co-group with
+    ONE ``groupby(bucket)`` over the union, and hash-join inside each
+    group (the explicit partitioned hash join of ray_guide 'Joins and
+    lookups'; salt hot keys into sub-buckets at scale).  Aggregates to
+    revenue per order priority."""
+    import pandas as pd
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    lineitem = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        keys = t["o_orderkey"]
+        return pa.table(
+            {
+                "bucket": pc.cast(
+                    pc.bit_wise_and(keys, pa.scalar(JOIN_BUCKETS - 1)), pa.int32()
+                ),
+                "key": keys,
+                "side": pa.array(["o"] * t.num_rows, pa.string()),
+                "priority": t["o_orderpriority"],
+                "revenue": pa.nulls(t.num_rows, pa.float64()),
+            }
+        )
+
+    def tag_lineitem(t: pa.Table) -> pa.Table:
+        keys = t["l_orderkey"]
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        return pa.table(
+            {
+                "bucket": pc.cast(
+                    pc.bit_wise_and(keys, pa.scalar(JOIN_BUCKETS - 1)), pa.int32()
+                ),
+                "key": keys,
+                "side": pa.array(["l"] * t.num_rows, pa.string()),
+                "priority": pa.nulls(t.num_rows, pa.string()),
+                "revenue": rev,
+            }
+        )
+
+    tagged = orders.map_batches(tag_orders, batch_format="pyarrow").union(
+        lineitem.map_batches(tag_lineitem, batch_format="pyarrow")
+    )
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == "o"][["key", "priority"]]
+        right = g[g["side"] == "l"][["key", "revenue"]]
+        m = right.merge(left, on="key", how="inner")
+        if len(m) == 0:
+            return pd.DataFrame(
+                {"priority": pd.Series(dtype="str"),
+                 "revenue": pd.Series(dtype="float64")}
+            )
+        return m.groupby("priority", as_index=False)["revenue"].sum()
+
+    partial = tagged.groupby("bucket").map_groups(join_bucket, batch_format="pandas")
+    out = partial.groupby("priority").aggregate(
+        Sum("revenue", alias_name="sum_revenue")
+    )
+
+    def round_cols(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": t["priority"],
+                "sum_revenue": pc.round(t["sum_revenue"], ndigits=2),
+            }
+        )
+
+    return out.map_batches(round_cols, batch_format="pyarrow")
+
+
+SQL_JOIN_SHUFFLE = """
+SELECT o.o_orderpriority,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS sum_revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
 # -- #11 intersection (broadcast semi-join) ----------------------------------
 
 

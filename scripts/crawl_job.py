@@ -73,12 +73,15 @@ def main() -> int:
     params = CrawlParams(target_pages=args.target_pages,
                          max_waves=args.max_waves, n_seeds=args.n_seeds)
     shards = args.shards or max(2, args.num_cpus // 4)
+    # reserve a core per shard actor only when at least half the budget
+    # remains for map tasks — otherwise the wave job cannot schedule
+    actor_cpus = 1 if args.num_cpus >= 4 * shards else 0
     eng = CrawlEngine(
         cfg,
         params,
         n_host_shards=shards,
         n_seen_shards=shards,
-        actor_num_cpus=1,
+        actor_num_cpus=actor_cpus,
         fidelity=args.fidelity,
         out_dir=args.out_dir,
         checkpoint_dir=args.checkpoint_dir,

@@ -1,0 +1,51 @@
+"""Integration: the `ray job submit` entry script runs end-to-end in a
+fresh process, writes partitioned output, and resumes from checkpoint."""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCRIPT = os.path.join(REPO, "scripts", "crawl_job.py")
+
+
+def _run(*extra):
+    env = dict(os.environ, RAY_GRAFT_CPUS="4")
+    return subprocess.run(
+        [sys.executable, SCRIPT, "--n-docs", "200", "--n-hosts", "8",
+         "--n-seeds", "5", "--target-pages", "40", "--max-waves", "6",
+         "--num-cpus", "4", "--shards", "2", *extra],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+
+
+def test_job_script_end_to_end(tmp_path):
+    out_dir = str(tmp_path / "out")
+    r = _run("--out-dir", out_dir)
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["pages"] > 0
+    waves = [json.loads(line) for line in r.stderr.splitlines()
+             if line.startswith("{")]
+    assert waves and all("attempted" in w for w in waves)
+    assert any(d.startswith("wave=") for d in os.listdir(out_dir))
+
+
+def test_job_script_resume(tmp_path):
+    out_dir = str(tmp_path / "out")
+    ck = str(tmp_path / "ckpt")
+    full = _run("--out-dir", out_dir, "--max-waves", "6")
+    assert full.returncode == 0
+    expect = json.loads(full.stdout.strip().splitlines()[-1])
+
+    out2 = str(tmp_path / "out2")
+    first = _run("--out-dir", out2, "--checkpoint-dir", ck, "--max-waves", "3")
+    assert first.returncode == 0
+    resumed = _run("--out-dir", out2, "--checkpoint-dir", ck, "--max-waves", "6")
+    assert resumed.returncode == 0
+    assert "resumed from wave" in resumed.stderr
+    got = json.loads(resumed.stdout.strip().splitlines()[-1])
+    assert got["pages"] == expect["pages"]
+    assert got["visited"] == expect["visited"]
+    assert got["queue"] == expect["queue"]
