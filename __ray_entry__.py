@@ -77,6 +77,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh": similarity.q_knn_lsh,
         # stream-shaped
         "window_tumbling": events.q_window_tumbling,
+        "window_sliding": events.q_window_sliding,
+        "asof_join": events.q_asof_join,
         "sessionize": events.q_sessionize,
         "top_users": events.q_top_users,
         # the north-rule crawl + downstream jobs (rows-only; exact
@@ -112,6 +114,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": dedup.SQL_DEDUP_EMBEDDING,
         "knn_bruteforce": similarity.sql_knn_bruteforce(),
         "window_tumbling": events.SQL_WINDOW_TUMBLING,
+        "window_sliding": events.SQL_WINDOW_SLIDING,
+        "asof_join": events.SQL_ASOF_JOIN,
         "sessionize": events.SQL_SESSIONIZE,
         "top_users": events.SQL_TOP_USERS,
     }

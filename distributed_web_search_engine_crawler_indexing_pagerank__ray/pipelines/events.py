@@ -107,6 +107,121 @@ FROM d GROUP BY user_id
 """
 
 
+# -- sliding windows ---------------------------------------------------------
+
+SLIDE_MIN = 15  # windows start every 15 min, length 1 h
+
+
+def q_window_sliding(sf_dir: str):
+    """1-hour windows sliding every 15 min, per event_type: each event
+    lands in 4 windows (vectorized expansion in map_batches; the
+    shuffle is the grouped count over pre-windowed rows)."""
+
+    def expand(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ts = t["ts"].to_pandas()
+        base = ts.dt.floor(f"{SLIDE_MIN}min")
+        types = t["event_type"].to_pylist()
+        out_type, out_ws = [], []
+        for k in range(60 // SLIDE_MIN):
+            ws = base - pd.Timedelta(minutes=SLIDE_MIN * k)
+            out_type.extend(types)
+            out_ws.append(ws)
+        ws_all = pd.concat(out_ws, ignore_index=True)
+        return pa.table(
+            {
+                "event_type": pa.array(out_type, pa.string()),
+                "window_start": pa.Array.from_pandas(ws_all),
+            }
+        )
+
+    from ray.data.aggregate import Count
+
+    ds = _events(sf_dir, ["ts", "event_type"]).map_batches(
+        expand, batch_format="pyarrow"
+    )
+    return ds.groupby(["event_type", "window_start"]).aggregate(
+        Count(alias_name="n")
+    )
+
+
+SQL_WINDOW_SLIDING = f"""
+SELECT event_type,
+       time_bucket(INTERVAL {SLIDE_MIN} MINUTE, ts)
+         - k.k * INTERVAL {SLIDE_MIN} MINUTE AS window_start,
+       count(*) AS n
+FROM events, (SELECT unnest(range(4)) AS k) k
+GROUP BY event_type, window_start
+"""
+
+
+# -- as-of join (training-pipeline addition; none in the reference) ----------
+
+
+def q_asof_join(sf_dir: str):
+    """For every event: the most recent order of the same customer at
+    or before the event time (as-of backward join).  Pattern: co-bucket
+    both sides by key with one groupby over the tagged union, then
+    ``pd.merge_asof`` inside each group (ray_guide 'As-of / range
+    join')."""
+    events = _events(sf_dir, ["event_id", "user_id", "ts"])
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    )
+
+    def tag_events(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": pc.cast(t["user_id"], pa.int64()),
+                "side": pa.array(["e"] * t.num_rows, pa.string()),
+                "event_id": t["event_id"],
+                "ts": t["ts"],
+            }
+        )
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": pc.cast(t["o_custkey"], pa.int64()),
+                "side": pa.array(["o"] * t.num_rows, pa.string()),
+                "event_id": pa.nulls(t.num_rows, pa.int64()),
+                "ts": t["o_orderdate"],
+            }
+        )
+
+    tagged = events.map_batches(tag_events, batch_format="pyarrow").union(
+        orders.map_batches(tag_orders, batch_format="pyarrow")
+    )
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        ev = g[g["side"] == "e"][["event_id", "ts"]].sort_values(
+            ["ts", "event_id"]
+        )
+        od = g[g["side"] == "o"][["ts"]].sort_values("ts")
+        if len(ev) == 0:
+            return pd.DataFrame(
+                {"event_id": pd.Series(dtype="int64"),
+                 "last_order_date": pd.Series(dtype="datetime64[us]")}
+            )
+        m = pd.merge_asof(
+            ev, od.rename(columns={"ts": "last_order_date"}),
+            left_on="ts", right_on="last_order_date", direction="backward",
+        )
+        return m[["event_id", "last_order_date"]]
+
+    return tagged.groupby("key").map_groups(asof, batch_format="pandas")
+
+
+SQL_ASOF_JOIN = """
+SELECT e.event_id,
+       (SELECT max(o.o_orderdate) FROM orders o
+        WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+       AS last_order_date
+FROM events e
+"""
+
+
 # -- top-k by aggregate ------------------------------------------------------
 
 
