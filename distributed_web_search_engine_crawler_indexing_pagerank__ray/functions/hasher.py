@@ -48,7 +48,12 @@ _KEY_ALLOWED = set("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ01234567
 
 
 def key_encode(key: str) -> str:
-    """Filesystem-safe row-key encoding (``src/tools/KeyEncoder.java:5-15``)."""
+    """Filesystem-safe row-key encoding (``src/tools/KeyEncoder.java:5-15``).
+
+    REFERENCE BUG, reproduced faithfully: the escape is ``_`` +
+    ``Integer.toHexString(c)`` (variable length) while :func:`key_decode`
+    always consumes exactly two hex chars (``KeyEncoder.java:20-23``),
+    so the pair only round-trips for code points in ``[0x10, 0xFF]``."""
     out = []
     for ch in key:
         if ch in _KEY_ALLOWED:
