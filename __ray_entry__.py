@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats": textpipe.q_text_stats,
         # dedup family (training-data additions)
         "dedup_exact": dedup.q_dedup_exact,
+        "dedup_clusters": dedup.q_dedup_clusters,
         "dedup_minhash": dedup.q_dedup_minhash,
         "dedup_simhash": dedup.q_dedup_simhash,
         "dedup_embedding": dedup.q_dedup_embedding,

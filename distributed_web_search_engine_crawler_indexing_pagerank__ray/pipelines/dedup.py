@@ -208,6 +208,100 @@ def q_dedup_simhash(sf_dir: str):
 
 # -- embedding-cosine near-dup ----------------------------------------------
 
+# -- duplicate clusters: connected components over the near-dup graph --------
+
+
+def q_dedup_clusters(sf_dir: str):
+    """Cluster documents into duplicate groups: nodes = doc_ids, edges =
+    exact-dup pairs (same content hash) ∪ MinHash near-dup pairs;
+    components via iterative min-label propagation (ray_guide's dedup
+    follow-up: 'a few rounds of min-label propagation with groupby').
+
+    Each round: every edge proposes its endpoint labels to the other
+    endpoint; ``groupby(node).min(label)`` takes the smallest; stop when
+    no label changes (≤ diameter rounds).  Returns (doc_id, cluster)
+    with cluster = min doc_id of the component."""
+    import pyarrow.parquet as pq
+
+    from ray.data.aggregate import Min
+
+    # edge list (small relative to the corpus: only candidate dup pairs)
+    near = q_dedup_minhash(sf_dir)
+    if not isinstance(near, pa.Table):
+        parts = list(near.iter_batches(batch_format="pyarrow", batch_size=None))
+        near = (
+            pa.concat_tables(parts)
+            if parts
+            else pa.table({"doc_a": pa.array([], pa.int64()),
+                           "doc_b": pa.array([], pa.int64()),
+                           "jac": pa.array([], pa.float64())})
+        )
+    exact = q_dedup_exact(sf_dir).to_pandas()
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    texts = docs.to_pandas()
+    text_groups = texts.groupby(texts["text"])["doc_id"].apply(sorted)
+    ea, eb = [], []
+    for members in text_groups:
+        for m in members[1:]:
+            ea.append(members[0])
+            eb.append(m)
+    del exact
+    edges = pd.DataFrame(
+        {
+            "a": list(near["doc_a"].to_pylist()) + ea,
+            "b": list(near["doc_b"].to_pylist()) + eb,
+        }
+    ).drop_duplicates()
+    labels = {int(d): int(d) for d in texts["doc_id"]}
+    edges_ref = ray.put(edges)
+
+    labels_ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(list(labels), pa.int64()),
+                "label": pa.array(list(labels.values()), pa.int64()),
+            }
+        )
+    )
+    for _ in range(12):
+        lab_map = {
+            int(r["node"]): int(r["label"]) for r in labels_ds.take_all()
+        }
+
+        def propose(t: pa.Table, lab=lab_map) -> pa.Table:
+            nodes, labs = [], []
+            for a, b in zip(t["a"].to_pylist(), t["b"].to_pylist()):
+                la, lb = lab[a], lab[b]
+                m = min(la, lb)
+                nodes.extend((a, b))
+                labs.extend((m, m))
+            return pa.table(
+                {"node": pa.array(nodes, pa.int64()),
+                 "label": pa.array(labs, pa.int64())}
+            )
+
+        e = ray.get(edges_ref)
+        if len(e) == 0:
+            break
+        proposals = ray.data.from_pandas(e).map_batches(
+            propose, batch_format="pyarrow"
+        )
+        merged = (
+            proposals.union(labels_ds)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+        )
+        new_map = {
+            int(r["node"]): int(r["label"]) for r in merged.take_all()
+        }
+        labels_ds = merged
+        if new_map == lab_map:
+            break
+
+    out = labels_ds.to_pandas().rename(columns={"label": "cluster"})
+    return out.sort_values("node").reset_index(drop=True)
+
+
 COSINE_THRESHOLD = 0.35  # fixture embeddings have no true near-dups;
 # 0.35 ≈ p99 of the intra-label cosine distribution → non-trivial result
 

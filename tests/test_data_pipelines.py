@@ -144,3 +144,52 @@ def test_text_stats_match_kernels():
         assert int(out.loc[r.doc_id, "fingerprint"]) == fingerprint(r.text)
     # the heuristic marks this vocabulary overwhelmingly as 'en'/'und'
     assert (out["lang"].isin(["en", "und"])).mean() > 0.8
+
+
+def test_dedup_clusters_match_union_find():
+    """Connected components via label propagation equal a plain
+    union-find over the same edge set."""
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines import dedup
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    out = dedup.q_dedup_clusters(SF).set_index("node")["cluster"]
+
+    near = dedup.q_dedup_minhash(SF)
+    if not isinstance(near, pa.Table):
+        parts = list(near.iter_batches(batch_format="pyarrow", batch_size=None))
+        near = pa.concat_tables(parts)
+    texts = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    parent = {int(d): int(d) for d in texts["doc_id"]}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for _, g in texts.groupby("text"):
+        ids = sorted(g["doc_id"])
+        for m in ids[1:]:
+            union(ids[0], m)
+    for a, b in zip(near["doc_a"].to_pylist(), near["doc_b"].to_pylist()):
+        union(a, b)
+    # canonical min-root per component
+    roots = {}
+    for n in parent:
+        r = find(n)
+        roots.setdefault(r, []).append(n)
+    expect = {}
+    for r, members in roots.items():
+        m = min(members)
+        for n in members:
+            expect[n] = m
+    got = {int(n): int(c) for n, c in out.items()}
+    assert got == expect
+    # fixture has non-trivial clusters
+    assert any(c != n for n, c in got.items())
