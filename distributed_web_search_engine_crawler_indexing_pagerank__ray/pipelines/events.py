@@ -28,7 +28,9 @@ def q_window_tumbling(sf_dir: str):
     shuffle is the (event_type, window) groupby over pre-windowed rows."""
 
     def win(t: pa.Table) -> pa.Table:
-        ws = pc.floor_temporal(t["ts"], unit="hour")
+        ws = pc.cast(
+            pc.floor_temporal(t["ts"], unit="hour"), pa.timestamp("us")
+        )  # explicit µs so the output schema matches the SQL oracle's
         return pa.table(
             {
                 "event_type": t["event_type"],
@@ -45,10 +47,17 @@ def q_window_tumbling(sf_dir: str):
     )
 
     def round_cols(t: pa.Table) -> pa.Table:
-        return t.set_column(
+        t = t.set_column(
             t.schema.get_field_index("sum_value"),
             "sum_value",
             pc.round(t["sum_value"], ndigits=4),
+        )
+        # the grouped aggregate can downcast the key to timestamp[s];
+        # re-cast so the output schema matches the SQL oracle's µs
+        return t.set_column(
+            t.schema.get_field_index("window_start"),
+            "window_start",
+            pc.cast(t["window_start"], pa.timestamp("us")),
         )
 
     return out.map_batches(round_cols, batch_format="pyarrow")
@@ -132,7 +141,9 @@ def q_window_sliding(sf_dir: str):
         return pa.table(
             {
                 "event_type": pa.array(out_type, pa.string()),
-                "window_start": pa.Array.from_pandas(ws_all),
+                "window_start": pc.cast(
+                    pa.Array.from_pandas(ws_all), pa.timestamp("us")
+                ),
             }
         )
 
