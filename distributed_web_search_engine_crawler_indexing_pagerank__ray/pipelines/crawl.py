@@ -407,27 +407,58 @@ class CrawlEngine:
     # -- checkpoint / resume (north rule: resumable, lineage) -----------------
 
     def _checkpoint(self, stats: WaveStats) -> None:
+        """Per-wave checkpoint: shard state as per-shard parquet tables
+        (scales with state size; a Lance dataset is the drop-in swap)
+        plus a small JSON head with scalars, written atomically via a
+        temp dir + rename."""
+        import shutil
+
         d = self.checkpoint_dir
         os.makedirs(d, exist_ok=True)
-        host_snaps = ray.get([s.snapshot.remote() for s in self.host_shards])
-        seen_snaps = ray.get([s.snapshot.remote() for s in self.seen_shards])
-        frontier = (
-            self.frontier.to_pylist()
-            if isinstance(self.frontier, (pa.Array, pa.ChunkedArray))
-            else list(self.frontier)
-        )
-        state = {
-            "wave_idx": self.wave_idx,
-            "pages_total": self.pages_total,
-            "frontier": frontier,
-            "host_counts": self.host_counts,
-            "host_snaps": host_snaps,
-            "seen_snaps": seen_snaps,
-        }
         tmp = os.path.join(d, ".ckpt.tmp")
-        with open(tmp, "w") as f:
-            json.dump(state, f)
-        os.replace(tmp, os.path.join(d, "ckpt.json"))
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        os.makedirs(tmp)
+        host_tbls = ray.get(
+            [s.snapshot_table.remote() for s in self.host_shards]
+        )
+        count_tbls = ray.get(
+            [s.counts_table.remote() for s in self.host_shards]
+        )
+        seen_tbls = ray.get(
+            [s.snapshot_table.remote() for s in self.seen_shards]
+        )
+        for i, (ht, ct) in enumerate(zip(host_tbls, count_tbls)):
+            pq.write_table(ht, os.path.join(tmp, f"hosts-{i:03d}.parquet"))
+            pq.write_table(ct, os.path.join(tmp, f"counts-{i:03d}.parquet"))
+        for i, st in enumerate(seen_tbls):
+            pq.write_table(st, os.path.join(tmp, f"seen-{i:03d}.parquet"))
+        frontier = (
+            self.frontier
+            if isinstance(self.frontier, (pa.Array, pa.ChunkedArray))
+            else pa.array(list(self.frontier), pa.string())
+        )
+        pq.write_table(
+            pa.table({"url": frontier}), os.path.join(tmp, "frontier.parquet")
+        )
+        with open(os.path.join(tmp, "head.json"), "w") as f:
+            json.dump(
+                {
+                    "wave_idx": self.wave_idx,
+                    "pages_total": self.pages_total,
+                    "n_host_shards": len(self.host_shards),
+                    "n_seen_shards": self.n_seen,
+                },
+                f,
+            )
+        final = os.path.join(d, "ckpt")
+        if os.path.isdir(final):
+            old = final + ".old"
+            os.replace(final, old)
+            os.replace(tmp, final)
+            shutil.rmtree(old)
+        else:
+            os.replace(tmp, final)
         manifest = {
             "wave": stats["wave"],
             "t_ms": stats["t_ms"],
@@ -443,23 +474,31 @@ class CrawlEngine:
             json.dump(manifest, f)
 
     def resume(self) -> bool:
-        path = os.path.join(self.checkpoint_dir or "", "ckpt.json")
-        if not os.path.isfile(path):
+        d = os.path.join(self.checkpoint_dir or "", "ckpt")
+        head_path = os.path.join(d, "head.json")
+        if not os.path.isfile(head_path):
             return False
-        with open(path) as f:
-            state = json.load(f)
-        self.wave_idx = state["wave_idx"]
-        self.pages_total = state["pages_total"]
-        self.frontier = state["frontier"]
-        self.host_counts = dict(state.get("host_counts", {}))
-        ray.get(
-            [s.restore.remote(snap)
-             for s, snap in zip(self.host_shards, state["host_snaps"])]
-        )
-        ray.get(
-            [s.restore.remote(snap)
-             for s, snap in zip(self.seen_shards, state["seen_snaps"])]
-        )
+        with open(head_path) as f:
+            head = json.load(f)
+        assert head["n_host_shards"] == len(self.host_shards)
+        assert head["n_seen_shards"] == self.n_seen
+        self.wave_idx = head["wave_idx"]
+        self.pages_total = head["pages_total"]
+        self.frontier = pq.read_table(os.path.join(d, "frontier.parquet"))[
+            "url"
+        ].combine_chunks()
+        calls = []
+        for i, s in enumerate(self.host_shards):
+            ht = pq.read_table(os.path.join(d, f"hosts-{i:03d}.parquet"))
+            ct = pq.read_table(os.path.join(d, f"counts-{i:03d}.parquet"))
+            calls.append(s.restore_tables.remote(ht, ct))
+            self.host_counts.update(
+                zip(ct["hostname"].to_pylist(), ct["count"].to_pylist())
+            )
+        for i, s in enumerate(self.seen_shards):
+            st = pq.read_table(os.path.join(d, f"seen-{i:03d}.parquet"))
+            calls.append(s.restore_table.remote(st))
+        ray.get(calls)
         return True
 
     def run_resumed(self) -> dict:

@@ -213,6 +213,57 @@ class HostShard:
         self.hosts = {k: list(v) for k, v in snap["hosts"].items()}
         self.counts = dict(snap["counts"])
 
+    def snapshot_table(self) -> pa.Table:
+        """Host state as an Arrow table (parquet checkpoint form —
+        robots rules/delay are re-derived on restore)."""
+        keys = sorted(self.hosts)
+        return pa.table(
+            {
+                "host_key": pa.array(keys, pa.string()),
+                "last_access": pa.array(
+                    [self.hosts[k][0] for k in keys], pa.int64()
+                ),
+                "robots_fetched": pa.array(
+                    [self.hosts[k][1] for k in keys], pa.bool_()
+                ),
+                "robots_status": pa.array(
+                    [self.hosts[k][2] for k in keys], pa.int32()
+                ),
+                "robots_txt": pa.array(
+                    [self.hosts[k][3] for k in keys], pa.string()
+                ),
+            }
+        )
+
+    def counts_table(self) -> pa.Table:
+        keys = sorted(self.counts)
+        return pa.table(
+            {
+                "hostname": pa.array(keys, pa.string()),
+                "count": pa.array([self.counts[k] for k in keys], pa.int64()),
+            }
+        )
+
+    def restore_tables(self, hosts_tbl: pa.Table, counts_tbl: pa.Table) -> None:
+        self.hosts = {}
+        for row in hosts_tbl.to_pylist():
+            st = [row["last_access"], False, -1, "", None, None, 1000]
+            self.hosts[row["host_key"]] = st
+            if row["robots_fetched"]:
+                st[1] = True
+                st[2] = row["robots_status"]
+                st[3] = row["robots_txt"]
+                if 200 <= st[2] < 300 and st[3]:
+                    cd = extract_crawl_delay(st[3])
+                    if cd is not None:
+                        st[4] = float(cd)
+                st[5] = select_rules(st[2], st[3])
+                d = st[4] if st[4] is not None else DEFAULT_DELAY
+                st[6] = int(math.ceil(d * 1000.0))
+        self.counts = dict(
+            zip(counts_tbl["hostname"].to_pylist(), counts_tbl["count"].to_pylist())
+        )
+
 
 @ray.remote
 class SeenShard:
@@ -328,6 +379,44 @@ class SeenShard:
         self.visited = dict(snap["visited"])
         self.queue = dict(snap["queue"])
         self.saved = set(snap["saved"])
+        self.filters.add_batch([key64(u) for u in self.visited.values()])
+
+    def snapshot_table(self) -> pa.Table:
+        """Seen-set + queue + saved keys as ONE Arrow table (the exact
+        'sidecar' of the approximate filters; parquet checkpoint form).
+        kind ∈ {visited, queue, saved}."""
+        kinds, hashes, urls = [], [], []
+        for h, u in self.visited.items():
+            kinds.append("visited")
+            hashes.append(h)
+            urls.append(u)
+        for h, u in self.queue.items():
+            kinds.append("queue")
+            hashes.append(h)
+            urls.append(u)
+        for h in self.saved:
+            kinds.append("saved")
+            hashes.append(h)
+            urls.append("")
+        return pa.table(
+            {
+                "kind": pa.array(kinds, pa.string()),
+                "url_hash": pa.array(hashes, pa.string()),
+                "url": pa.array(urls, pa.string()),
+            }
+        )
+
+    def restore_table(self, tbl: pa.Table) -> None:
+        self.visited = {}
+        self.queue = {}
+        self.saved = set()
+        for row in tbl.to_pylist():
+            if row["kind"] == "visited":
+                self.visited[row["url_hash"]] = row["url"]
+            elif row["kind"] == "queue":
+                self.queue[row["url_hash"]] = row["url"]
+            else:
+                self.saved.add(row["url_hash"])
         self.filters.add_batch([key64(u) for u in self.visited.values()])
 
 
