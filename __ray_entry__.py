@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": similarity.q_knn_bruteforce,
         "knn_lsh": similarity.q_knn_lsh,
         # stream-shaped
+        "approx_distinct_users": events.q_approx_distinct_users,
         "window_tumbling": events.q_window_tumbling,
         "window_sliding": events.q_window_sliding,
         "asof_join": events.q_asof_join,

@@ -116,6 +116,64 @@ FROM d GROUP BY user_id
 """
 
 
+# -- approximate distinct (mergeable HLL sketch) -----------------------------
+
+
+def q_approx_distinct_users(sf_dir: str):
+    """Approximate distinct users per event_type via HyperLogLog:
+    one serialized sketch per (batch, type) from map_batches, merged in
+    a tiny driver combine (the guide's mergeable-sketch shape — at
+    scale the merge is a groupby over kilobyte sketches, never a
+    shuffle of raw values).  Rows-only driver check; the error bound vs
+    exact distinct is unit-tested."""
+    from ..functions.sketch import HyperLogLog
+
+    def sketch_batch(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        types = t["event_type"].to_pylist()
+        users = np.asarray(t["user_id"].to_pylist(), dtype=np.uint64)
+        out_t, out_s = [], []
+        order = np.argsort(types, kind="stable")
+        i = 0
+        while i < len(order):
+            j = i
+            ty = types[order[i]]
+            while j < len(order) and types[order[j]] == ty:
+                j += 1
+            hll = HyperLogLog().add_many(users[order[i:j]])
+            out_t.append(ty)
+            out_s.append(hll.to_bytes())
+            i = j
+        return pa.table(
+            {
+                "event_type": pa.array(out_t, pa.string()),
+                "sketch": pa.array(out_s, pa.binary()),
+            }
+        )
+
+    partials = _events(sf_dir, ["event_type", "user_id"]).map_batches(
+        sketch_batch, batch_format="pyarrow"
+    )
+    merged: dict[str, "HyperLogLog"] = {}
+    for b in partials.iter_batches(batch_format="pyarrow", batch_size=None):
+        for ty, s in zip(b["event_type"].to_pylist(), b["sketch"].to_pylist()):
+            h = HyperLogLog.from_bytes(s)
+            if ty in merged:
+                merged[ty].merge(h)
+            else:
+                merged[ty] = h
+    types = sorted(merged)
+    return pa.table(
+        {
+            "event_type": pa.array(types, pa.string()),
+            "approx_users": pa.array(
+                [int(round(merged[t].estimate())) for t in types], pa.int64()
+            ),
+        }
+    )
+
+
 # -- sliding windows ---------------------------------------------------------
 
 SLIDE_MIN = 15  # windows start every 15 min, length 1 h

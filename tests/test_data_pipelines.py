@@ -193,3 +193,32 @@ def test_dedup_clusters_match_union_find():
     assert got == expect
     # fixture has non-trivial clusters
     assert any(c != n for n, c in got.items())
+
+
+def test_hll_sketch_accuracy():
+    """HLL estimate within 5% on known cardinalities; merge = union."""
+    import numpy as np
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.functions.sketch import (
+        HyperLogLog,
+    )
+
+    for n in (100, 5_000, 200_000):
+        h = HyperLogLog()
+        h.add_many(np.arange(1, n + 1, dtype=np.uint64))
+        assert abs(h.estimate() - n) / n < 0.05, (n, h.estimate())
+    a = HyperLogLog().add_many(np.arange(1, 10_001, dtype=np.uint64))
+    b = HyperLogLog().add_many(np.arange(5_000, 15_001, dtype=np.uint64))
+    a.merge(b)
+    assert abs(a.estimate() - 15_000) / 15_000 < 0.05
+
+
+def test_approx_distinct_users_close_to_exact(con):
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines import events
+
+    approx = events.q_approx_distinct_users(SF).to_pandas().set_index("event_type")
+    exact = con.execute(
+        "SELECT event_type, count(DISTINCT user_id) AS n FROM events GROUP BY 1"
+    ).fetchdf().set_index("event_type")
+    for ty in exact.index:
+        e, a = exact.loc[ty, "n"], approx.loc[ty, "approx_users"]
+        assert abs(a - e) / max(1, e) < 0.05, (ty, e, a)
