@@ -454,6 +454,8 @@ class CrawlEngine:
         final = os.path.join(d, "ckpt")
         if os.path.isdir(final):
             old = final + ".old"
+            if os.path.isdir(old):  # stale from a crash mid-swap:
+                shutil.rmtree(old)  # os.replace can't replace a non-empty dir
             os.replace(final, old)
             os.replace(tmp, final)
             shutil.rmtree(old)

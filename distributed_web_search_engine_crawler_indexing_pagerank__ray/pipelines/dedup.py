@@ -17,6 +17,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from ..sources.tables import read_parquet_clean
+
 from ..functions.textstats import (
     hamming64,
     jaccard,
@@ -28,7 +30,7 @@ from ..functions.textstats import (
 
 
 def _docs(sf_dir: str, columns=("doc_id", "text")):
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+    return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=list(columns))
 
 
 # -- exact dedup: hash-partition + per-group first ---------------------------
@@ -312,7 +314,7 @@ def q_dedup_embedding(sf_dir: str):
     (the IVF-style pre-partition: same-label vectors are candidates;
     cross-label pairs are assumed non-dup — documented assumption).
     Vectorized: per group, one normalized matmul."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
     )
 

@@ -12,11 +12,13 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
+
+from ..sources.tables import read_parquet_clean
 from ray.data.aggregate import Count, Sum
 
 
 def _events(sf_dir: str, columns=None):
-    return ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+    return read_parquet_clean(f"{sf_dir}/events.parquet", columns=columns)
 
 
 # -- tumbling window aggregate ----------------------------------------------
@@ -235,7 +237,7 @@ def q_asof_join(sf_dir: str):
     ``pd.merge_asof`` inside each group (ray_guide 'As-of / range
     join')."""
     events = _events(sf_dir, ["event_id", "user_id", "ts"])
-    orders = ray.data.read_parquet(
+    orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
     )
 
@@ -267,6 +269,10 @@ def q_asof_join(sf_dir: str):
         ev = g[g["side"] == "e"][["event_id", "ts"]].sort_values(
             ["ts", "event_id"]
         )
+        # the tagged union holds null event_id on order rows, so pandas
+        # promotes the column to float64 for the whole group; restore the
+        # contract dtype after dropping the order side
+        ev = ev.assign(event_id=ev["event_id"].astype("int64"))
         od = g[g["side"] == "o"][["ts"]].sort_values("ts")
         if len(ev) == 0:
             return pd.DataFrame(

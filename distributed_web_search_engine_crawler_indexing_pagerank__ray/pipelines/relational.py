@@ -8,17 +8,18 @@ idiomatic Ray Data shape and is paired with an ANSI-SQL oracle in
 
 from __future__ import annotations
 
-import hashlib
-
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
+
+from ..sources.tables import read_parquet_clean
 from ray.data.aggregate import Count, Mean, Sum
 
 
 def _read(sf_dir: str, table: str, columns=None):
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    return read_parquet_clean(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
 # -- #8 filter + #3 projection (vectorized predicate in map_batches) ---------
@@ -164,16 +165,19 @@ def q_join_broadcast(sf_dir: str):
     other table — i.e. an index-nested-loop join).  Ray: the small side is
     broadcast once via ``ray.put`` and each batch does a vectorized
     dictionary lookup — no shuffle."""
-    cust = (
+    cust_parts = list(
         _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-        .to_pandas()
+        .iter_batches(batch_format="pyarrow", batch_size=None)
     )
-    lookup_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    cust = pa.concat_tables(cust_parts).combine_chunks()
+    # broadcast the two columns once; per batch the lookup is a single
+    # vectorized pc.index_in + take (no Python dict, no per-row loop)
+    lookup_ref = ray.put((cust["c_custkey"], cust["c_mktsegment"]))
 
     def join_fn(t: pa.Table) -> pa.Table:
-        lookup = ray.get(lookup_ref)
-        segs = [lookup.get(k) for k in t["o_custkey"].to_pylist()]
-        return t.append_column("c_mktsegment", pa.array(segs, pa.string()))
+        keys, segs = ray.get(lookup_ref)
+        idx = pc.index_in(t["o_custkey"], value_set=keys)
+        return t.append_column("c_mktsegment", pc.take(segs, idx))
 
     ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
         join_fn, batch_format="pyarrow"
@@ -301,13 +305,16 @@ def q_intersection(sf_dir: str):
     """Flame ``rdd.intersection`` loads the whole other table into a
     HashSet per worker (``src/flame/Worker.java:295-355``); Ray: broadcast
     the small distinct set, filter + unique."""
-    part_keys = set(_read(sf_dir, "part", ["p_partkey"]).unique("p_partkey"))
+    part_keys = pa.array(
+        sorted(_read(sf_dir, "part", ["p_partkey"]).unique("p_partkey")),
+        pa.int64(),
+    )
     keys_ref = ray.put(part_keys)
 
     def semi(t: pa.Table) -> pa.Table:
         keys = ray.get(keys_ref)
-        vals = [k for k in t["l_partkey"].to_pylist() if k in keys]
-        return pa.table({"partkey": pa.array(sorted(set(vals)), pa.int64())})
+        hits = pc.filter(t["l_partkey"], pc.is_in(t["l_partkey"], value_set=keys))
+        return pa.table({"partkey": pc.unique(hits).cast(pa.int64())})
 
     ds = _read(sf_dir, "lineitem", ["l_partkey"]).map_batches(
         semi, batch_format="pyarrow"
@@ -329,18 +336,20 @@ SELECT DISTINCT p_partkey AS partkey FROM part
 def q_sample(sf_dir: str):
     """Flame ``rdd.sample`` uses an unseeded Random per partition
     (``src/flame/Worker.java:357-397``) — nondeterministic.  Our engine
-    makes sampling reproducible: keep rows where the first 8 hex chars of
-    ``md5(o_orderkey)`` fall under p·2^32 (p = 0.1)."""
-    threshold = int(0.1 * (1 << 32))
+    makes sampling reproducible AND vectorized: keep rows where the
+    Knuth multiplicative hash of the key, ``(key mod 2^32)·2654435761
+    mod 2^32``, falls under p·2^32 (p = 0.1).  The multiplier is odd, so
+    the map is a permutation of Z_2^32 — equidistributed over any key
+    set — and the identical expression runs in the SQL oracle (one
+    numpy multiply per batch; the previous version md5'd every row)."""
+    threshold = np.uint64(int(0.1 * (1 << 32)))
+    M32 = np.uint64(0xFFFFFFFF)
+    A = np.uint64(2654435761)
 
     def fn(t: pa.Table) -> pa.Table:
-        keys = t["o_orderkey"].to_pylist()
-        keep = [
-            i
-            for i, k in enumerate(keys)
-            if int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16) < threshold
-        ]
-        return t.take(keep)
+        keys = t["o_orderkey"].to_numpy().astype(np.uint64)
+        h = ((keys & M32) * A) & M32
+        return t.filter(pa.array(h < threshold))
 
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]).map_batches(
         fn, batch_format="pyarrow"
@@ -359,8 +368,8 @@ def q_sample(sf_dir: str):
 SQL_SAMPLE = """
 SELECT round(sum(o_totalprice), 2) AS sum_price, count(*) AS n
 FROM orders
-WHERE CAST(('0x' || substring(md5(o_orderkey::VARCHAR), 1, 8)) AS UBIGINT)
-      < CAST(429496729 AS UBIGINT) * 1
+WHERE ((o_orderkey % 4294967296)::HUGEINT * 2654435761) % 4294967296
+      < 429496729
 """
 
 

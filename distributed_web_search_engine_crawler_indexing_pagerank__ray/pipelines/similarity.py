@@ -13,12 +13,14 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from ..sources.tables import read_parquet_clean
+
 N_QUERIES = 5  # the first N vec_ids serve as the fixed query set
 TOP_K = 10
 
 
 def _emb(sf_dir: str):
-    return ray.data.read_parquet(
+    return read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
 

@@ -15,6 +15,8 @@ import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data
+
+from ..sources.tables import read_parquet_clean
 from ray.data.aggregate import Count, Sum
 
 from ..functions.textstats import (
@@ -41,7 +43,7 @@ SQL_TOK = f"""
 
 
 def _docs(sf_dir: str, columns=("doc_id", "text")):
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+    return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=list(columns))
 
 
 # -- #4 flatMap + #19 foldByKey: word count ----------------------------------

@@ -20,6 +20,22 @@ import pyarrow.parquet as pq
 import ray.data
 
 
+def read_parquet_clean(path: str, columns=None) -> "ray.data.Dataset":
+    """``ray.data.read_parquet`` with the file-level pandas metadata
+    stripped from the schema.  Parquet written by pandas embeds a
+    metadata dict that makes ``pa.Schema`` unhashable, so Ray Data's
+    ``unify_schemas`` schema-dedup fails and logs ``Failed to hash the
+    schemas`` on every stage of every pipeline.  Passing an explicit
+    metadata-free schema keeps blocks hashable end to end."""
+    try:
+        schema = pq.read_schema(path).remove_metadata()
+        if columns is not None:  # schema must match the projection
+            schema = pa.schema([schema.field(c) for c in columns])
+    except Exception:
+        schema = None  # directory input etc. — let Ray infer
+    return ray.data.read_parquet(path, schema=schema, columns=columns)
+
+
 class TableCatalog:
     """Named durable tables rooted at one directory."""
 
@@ -57,6 +73,8 @@ class TableCatalog:
             data.write_parquet(tmp)
         if mode == "overwrite" and os.path.isdir(final):
             old = final + ".old"
+            if os.path.isdir(old):  # stale from a crash mid-swap:
+                shutil.rmtree(old)  # os.replace can't replace a non-empty dir
             os.replace(final, old)
             os.replace(tmp, final)
             shutil.rmtree(old)

@@ -137,6 +137,19 @@ class HostShard:
         Mirrors the oracle's phase-1 walk: all attempts at ``t_k``,
         lastAccess updates within the group gate later members, cap
         reads = committed counts + this group's own increments.
+
+        Cap-accounting assumption (documented): the in-wave cap delta
+        (``in_group``) resets per host_key group, so a hostname
+        reachable under TWO host_keys in one wave (http+https, or
+        differing explicit ports) could over-admit past the cap within
+        that wave.  Accumulating across groups instead would make
+        decisions depend on which groups share a block (partition-
+        dependent — breaks the determinism contract), so we keep the
+        per-group reset and rely on the universe invariant that each
+        hostname has exactly one scheme/port (see
+        ``sources/synthetic_web.py``: hosts are generated with a single
+        canonical origin).  Committed counts still converge globally at
+        ``end_wave``.
         """
         from ..functions.robots import robots_allows_parsed
 
@@ -364,10 +377,14 @@ class SeenShard:
                          "url": list(self.visited.values())})
 
     def get_stats(self) -> dict:
+        f = self.filters.stats()
         return dict(self.stats, visited=len(self.visited),
                     queue=len(self.queue), saved=len(self.saved),
                     cuckoo_items=self.filters.cuckoo.n_items,
-                    filter_rebuilds=self.filters.rebuilds)
+                    filter_rebuilds=self.filters.rebuilds,
+                    filter_probes=f["probes"],
+                    filter_bloom_maybe=f["bloom_maybe"],
+                    filter_cuckoo_maybe=f["cuckoo_maybe"])
 
     # -- checkpoint ----------------------------------------------------------
 

@@ -57,3 +57,23 @@ def test_scalable_filters_rebuild_keeps_members():
     # bloom has no false negatives after rebuilds
     assert f.contains_many(np.asarray(keys, dtype=np.uint64)).all()
     assert all(f.cuckoo.contains(k) for k in keys[:200])
+
+
+def test_layered_probe_cuckoo_screens_bloom_false_positives():
+    """The probe path is bloom → cuckoo → exact: the cuckoo layer must
+    kill most bloom false positives, so the exact-authority probe count
+    (= cuckoo_maybe) is strictly below the bloom maybe count on a
+    non-member workload against a deliberately saturated bloom."""
+    f = ScalableSeenFilters(n_bits=1 << 10, n_buckets=1 << 12)  # tiny bloom
+    members = [k * 2654435761 % (1 << 61) for k in range(1, 2000)]
+    f.add_batch(members)
+    probe = np.arange(10_000_000, 10_005_000, dtype=np.uint64)
+    maybe = f.contains_many(probe)
+    s = f.stats()
+    assert s["bloom_maybe"] > 100  # the bloom is saturated: many FPs…
+    assert s["cuckoo_maybe"] < s["bloom_maybe"] * 0.1  # …cuckoo kills ≥90 %
+    assert int(maybe.sum()) == s["cuckoo_maybe"]
+    # and still no false negatives end to end
+    f2 = ScalableSeenFilters(n_bits=1 << 10, n_buckets=1 << 12)
+    f2.add_batch(members)
+    assert f2.contains_many(np.asarray(members, dtype=np.uint64)).all()
