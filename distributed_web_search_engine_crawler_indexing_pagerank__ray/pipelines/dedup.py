@@ -14,6 +14,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -74,16 +75,41 @@ SHINGLE_K = 5
 JACCARD_THRESHOLD = 0.5
 
 
+DEDUP_JOIN_BUCKETS = 32
+
+
+def _compact(ds, rows_per_block: int = 500_000):
+    """Repartition a materialized dataset whose groupby lineage left it
+    with hundreds of near-empty blocks (map_groups emits one block per
+    input block).  Downstream shuffles cost O(blocks) tasks, so compact
+    to ~rows_per_block before iterating over it."""
+    n = ds.count()
+    target = max(1, min(64, n // rows_per_block + 1))
+    if ds.num_blocks() > 4 * target:
+        ds = ds.repartition(target).materialize()
+    return ds
+
+
 def q_dedup_minhash(sf_dir: str):
     """MinHash+LSH near-duplicate pairs, verified by true shingle
-    Jaccard.
+    Jaccard — fully distributed (no driver-side corpus broadcast).
 
-    Shuffle pattern (ray_guide 'Aggregation at scale'): per-batch
-    shingle→signature (stateless, the permutation params are module
-    constants), explode to (band_id, band_hash, doc_id) rows,
-    ``groupby(band)`` buckets candidates, pairwise verify inside the
-    group, final exact-Jaccard filter.  Returns (doc_a, doc_b, jac)
-    with doc_a < doc_b, rounded to 6 digits."""
+    Shuffle pattern (ray_guide 'Aggregation at scale'):
+
+    1. per-batch shingle→signature (stateless; permutation params are
+       module constants), explode to (band_id, band_hash, doc_id) rows;
+    2. ``groupby(band)`` buckets candidates → (doc_a, doc_b) pairs;
+    3. ``groupby(pair)`` dedupes pairs found by multiple bands;
+    4. verification texts move by SEMI-JOIN, never broadcast: the
+       distinct candidate doc ids (small by LSH design — this is the
+       one driver-held object, ids only, no text) filter the documents
+       table, and one bucketed equi-join attaches each candidate's
+       text to its pair rows;
+    5. ``groupby(pair-bucket)`` reassembles (text_a, text_b) per pair
+       and applies the exact-Jaccard filter.
+
+    Returns (doc_a, doc_b, jac) with doc_a < doc_b, rounded to 6
+    digits."""
     a_par, b_par = minhash_params(NUM_PERM)
 
     def sigs(t: pa.Table) -> pa.Table:
@@ -107,31 +133,125 @@ def q_dedup_minhash(sf_dir: str):
 
     bands = _docs(sf_dir).map_batches(sigs, batch_format="pyarrow")
 
-    def candidates(g: pd.DataFrame) -> pd.DataFrame:
-        docs = sorted(g["doc_id"].unique())
+    # NOTE all group fns on this path take/return ARROW: Ray Data skips
+    # the transform on 0-row blocks, so a pandas-format group fn leaks
+    # empty pandas blocks downstream and mixes block types at the next
+    # sort/union (BlockType assertion failure).
+    def candidates(g: pa.Table) -> pa.Table:
+        docs = sorted(pc.unique(g["doc_id"]).to_pylist())
         pairs = [(a, b) for i, a in enumerate(docs) for b in docs[i + 1 :]]
-        return pd.DataFrame(pairs, columns=["doc_a", "doc_b"]) if pairs else pd.DataFrame(
-            {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64")}
+        return pa.table(
+            {
+                "doc_a": pa.array([p[0] for p in pairs], pa.int64()),
+                "doc_b": pa.array([p[1] for p in pairs], pa.int64()),
+            }
         )
 
-    cand = (
-        bands.groupby(["band_id", "band_hash"])
-        .map_groups(candidates, batch_format="pandas")
-        .to_pandas()
-        .drop_duplicates()
+    cand = bands.groupby(["band_id", "band_hash"]).map_groups(
+        candidates, batch_format="pyarrow"
     )
-    # verify with true Jaccard (small candidate set → broadcast texts)
-    texts = _docs(sf_dir).to_pandas().set_index("doc_id")["text"].to_dict()
-    texts_ref = ray.put(texts)
+    # 3. cross-band dedupe, distributed; materialized ONCE (pairs only,
+    # no text) because it feeds both the id set and the join below
+    uniq = _compact(
+        cand.groupby(["doc_a", "doc_b"])
+        .map_groups(
+            lambda g: g.select(["doc_a", "doc_b"]).slice(0, 1),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
 
-    def verify(t: pa.Table) -> pa.Table:
-        tx = ray.get(texts_ref)
+    # 4a. the small side of the semi-join: distinct candidate ids
+    def pair_ids(t: pa.Table) -> pa.Table:
+        both = pa.concat_arrays(
+            [t["doc_a"].combine_chunks(), t["doc_b"].combine_chunks()]
+        )
+        return pa.table({"doc_id": pc.unique(both)})
+
+    ids = sorted(uniq.map_batches(pair_ids, batch_format="pyarrow").unique("doc_id"))
+    ids_ref = ray.put(pa.array(ids, pa.int64()))
+
+    NB = DEDUP_JOIN_BUCKETS
+
+    def tag_pairs(t: pa.Table) -> pa.Table:
+        # each pair → two join rows, keyed by the doc whose text it needs
+        a = t["doc_a"].combine_chunks()
+        b = t["doc_b"].combine_chunks()
+        jkey = pa.concat_arrays([a, b])
+        doc_a = pa.concat_arrays([a, a])
+        doc_b = pa.concat_arrays([b, b])
+        role = pa.array(["a"] * len(a) + ["b"] * len(b), pa.string())
+        return pa.table(
+            {
+                "bucket": pc.cast(
+                    pc.bit_wise_and(jkey, pa.scalar(NB - 1)), pa.int32()
+                ),
+                "jkey": jkey,
+                "side": pa.array(["p"] * len(jkey), pa.string()),
+                "doc_a": doc_a,
+                "doc_b": doc_b,
+                "role": role,
+                "text": pa.nulls(len(jkey), pa.string()),
+            }
+        )
+
+    def tag_docs(t: pa.Table) -> pa.Table:
+        want = ray.get(ids_ref)
+        t = t.filter(pc.is_in(t["doc_id"], value_set=want))  # semi-join
+        k = t["doc_id"]
+        return pa.table(
+            {
+                "bucket": pc.cast(pc.bit_wise_and(k, pa.scalar(NB - 1)), pa.int32()),
+                "jkey": k,
+                "side": pa.array(["d"] * t.num_rows, pa.string()),
+                "doc_a": pa.nulls(t.num_rows, pa.int64()),
+                "doc_b": pa.nulls(t.num_rows, pa.int64()),
+                "role": pa.nulls(t.num_rows, pa.string()),
+                "text": t["text"],
+            }
+        )
+
+    tagged = uniq.map_batches(tag_pairs, batch_format="pyarrow").union(
+        _docs(sf_dir).map_batches(tag_docs, batch_format="pyarrow")
+    )
+
+    def attach_text(t: pa.Table) -> pa.Table:
+        g = t.to_pandas()
+        p = g[g["side"] == "p"][["jkey", "doc_a", "doc_b", "role"]]
+        d = g[g["side"] == "d"][["jkey", "text"]]
+        m = p.merge(d, on="jkey", how="inner")
+        da = m["doc_a"].to_numpy(dtype=np.int64)
+        db = m["doc_b"].to_numpy(dtype=np.int64)
+        return pa.table(
+            {
+                "doc_a": pa.array(da),
+                "doc_b": pa.array(db),
+                "role": pa.array(m["role"], pa.string()),
+                "text": pa.array(m["text"], pa.string()),
+                # co-bucket the reassembly groupby on the pair
+                "pb": pa.array(((da * 31 + db) % NB).astype(np.int32)),
+            }
+        )
+
+    halves = tagged.groupby("bucket").map_groups(attach_text, batch_format="pyarrow")
+
+    def verify_pairs(t: pa.Table) -> pa.Table:
+        g = t.to_pandas()
+        a = g[g["role"] == "a"][["doc_a", "doc_b", "text"]].rename(
+            columns={"text": "text_a"}
+        )
+        b = g[g["role"] == "b"][["doc_a", "doc_b", "text"]].rename(
+            columns={"text": "text_b"}
+        )
+        m = a.merge(b, on=["doc_a", "doc_b"], how="inner")
         da, db, js = [], [], []
-        for a, b in zip(t["doc_a"].to_pylist(), t["doc_b"].to_pylist()):
-            j = jaccard(shingles(tx[a] or "", SHINGLE_K), shingles(tx[b] or "", SHINGLE_K))
+        for ida, idb, ta, tb in zip(m["doc_a"], m["doc_b"], m["text_a"], m["text_b"]):
+            j = jaccard(
+                shingles(ta or "", SHINGLE_K), shingles(tb or "", SHINGLE_K)
+            )
             if j >= JACCARD_THRESHOLD:
-                da.append(a)
-                db.append(b)
+                da.append(int(ida))
+                db.append(int(idb))
                 js.append(round(j, 6))
         return pa.table(
             {
@@ -141,15 +261,7 @@ def q_dedup_minhash(sf_dir: str):
             }
         )
 
-    if len(cand) == 0:
-        return pa.table(
-            {
-                "doc_a": pa.array([], pa.int64()),
-                "doc_b": pa.array([], pa.int64()),
-                "jac": pa.array([], pa.float64()),
-            }
-        )
-    return ray.data.from_pandas(cand).map_batches(verify, batch_format="pyarrow")
+    return halves.groupby("pb").map_groups(verify_pairs, batch_format="pyarrow")
 
 
 # -- SimHash -----------------------------------------------------------------
@@ -213,95 +325,214 @@ def q_dedup_simhash(sf_dir: str):
 # -- duplicate clusters: connected components over the near-dup graph --------
 
 
+def _exact_dup_edges(sf_dir: str):
+    """Distributed star edges of the exact-dup relation: hash the text
+    per batch, ``groupby(text_hash)``, and inside each group emit
+    (min_doc_id → other) — the same grouping that q_dedup_exact
+    aggregates, kept at member granularity so the edges never touch the
+    driver."""
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        hashes = [
+            hashlib.md5((x or "").encode("utf-8")).hexdigest()
+            for x in t["text"].to_pylist()
+        ]
+        return pa.table(
+            {"doc_id": t["doc_id"], "text_hash": pa.array(hashes, pa.string())}
+        )
+
+    def star(g: pa.Table) -> pa.Table:
+        # arrow in/out so even empty groups yield arrow blocks (a
+        # pandas-format group fn emits empty PANDAS blocks, which mixes
+        # block types through the later union and breaks the sort)
+        ids = np.sort(pc.unique(g["doc_id"]).to_numpy())
+        if len(ids) < 2:
+            return pa.table(
+                {"doc_a": pa.array([], pa.int64()),
+                 "doc_b": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {"doc_a": pa.array(np.full(len(ids) - 1, ids[0], dtype=np.int64)),
+             "doc_b": pa.array(ids[1:].astype(np.int64))}
+        )
+
+    return (
+        _docs(sf_dir)
+        .map_batches(add_hash, batch_format="pyarrow")
+        .groupby("text_hash")
+        .map_groups(star, batch_format="pyarrow")
+    )
+
+
 def q_dedup_clusters(sf_dir: str):
     """Cluster documents into duplicate groups: nodes = doc_ids, edges =
     exact-dup pairs (same content hash) ∪ MinHash near-dup pairs;
     components via iterative min-label propagation (ray_guide's dedup
-    follow-up: 'a few rounds of min-label propagation with groupby').
+    follow-up: 'a few rounds of min-label propagation with groupby') —
+    every step distributed: edges live as a Dataset, each round is one
+    bucketed edges⋈labels join + ``groupby(node).min(label)``, and
+    convergence is detected from the label SUM (labels only ever
+    decrease, so an unchanged sum ⇒ fixpoint) — no per-round
+    ``take_all`` into driver dicts.
 
-    Each round: every edge proposes its endpoint labels to the other
-    endpoint; ``groupby(node).min(label)`` takes the smallest; stop when
-    no label changes (≤ diameter rounds).  Returns (doc_id, cluster)
-    with cluster = min doc_id of the component."""
-    import pyarrow.parquet as pq
+    Scale note: propagation runs over the ACTIVE subgraph only — nodes
+    that appear in at least one dup edge.  Per-round shuffles are
+    therefore proportional to the dup-candidate set, not the corpus;
+    singleton docs join the result once at the end (cluster = own id).
 
-    from ray.data.aggregate import Min
+    Returns a Dataset of (node, cluster) with cluster = min doc_id of
+    the component."""
+    from ray.data.aggregate import Min, Sum
 
-    # edge list (small relative to the corpus: only candidate dup pairs)
     near = q_dedup_minhash(sf_dir)
-    if not isinstance(near, pa.Table):
-        parts = list(near.iter_batches(batch_format="pyarrow", batch_size=None))
-        near = (
-            pa.concat_tables(parts)
-            if parts
-            else pa.table({"doc_a": pa.array([], pa.int64()),
-                           "doc_b": pa.array([], pa.int64()),
-                           "jac": pa.array([], pa.float64())})
-        )
-    exact = q_dedup_exact(sf_dir).to_pandas()
-    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    texts = docs.to_pandas()
-    text_groups = texts.groupby(texts["text"])["doc_id"].apply(sorted)
-    ea, eb = [], []
-    for members in text_groups:
-        for m in members[1:]:
-            ea.append(members[0])
-            eb.append(m)
-    del exact
-    edges = pd.DataFrame(
-        {
-            "a": list(near["doc_a"].to_pylist()) + ea,
-            "b": list(near["doc_b"].to_pylist()) + eb,
-        }
-    ).drop_duplicates()
-    labels = {int(d): int(d) for d in texts["doc_id"]}
-    edges_ref = ray.put(edges)
 
-    labels_ds = ray.data.from_arrow(
-        pa.table(
+    def near_edges(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_a": t["doc_a"], "doc_b": t["doc_b"]})
+
+    # symmetrize so one join per round propagates labels both ways
+    def sym(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].combine_chunks().cast(pa.int64())
+        b = t["doc_b"].combine_chunks().cast(pa.int64())
+        return pa.table(
+            {"src": pa.concat_arrays([a, b]), "dst": pa.concat_arrays([b, a])}
+        )
+
+    edges = _compact(
+        near.map_batches(near_edges, batch_format="pyarrow")
+        .union(_exact_dup_edges(sf_dir))
+        .map_batches(sym, batch_format="pyarrow")
+        .materialize()  # edges only (two int64 cols) — reused every round
+    )
+
+    # active nodes = distinct edge endpoints (src covers both ends of
+    # the symmetric edge set); initial label = own id
+    def init_labels(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["src"], "label": t["src"]})
+
+    labels = _compact(
+        edges.map_batches(init_labels, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Min("label", alias_name="label"))
+        .materialize()
+    )
+    prev_sum = labels.aggregate(Sum("label", alias_name="s"))["s"] or 0
+
+    NB = DEDUP_JOIN_BUCKETS
+
+    def tag_edges(t: pa.Table) -> pa.Table:
+        return pa.table(
             {
-                "node": pa.array(list(labels), pa.int64()),
-                "label": pa.array(list(labels.values()), pa.int64()),
+                "bucket": pc.cast(
+                    pc.bit_wise_and(t["src"], pa.scalar(NB - 1)), pa.int32()
+                ),
+                "key": t["src"],
+                "side": pa.array(["e"] * t.num_rows, pa.string()),
+                "dst": t["dst"],
+                "label": pa.nulls(t.num_rows, pa.int64()),
             }
         )
-    )
-    for _ in range(12):
-        lab_map = {
-            int(r["node"]): int(r["label"]) for r in labels_ds.take_all()
-        }
 
-        def propose(t: pa.Table, lab=lab_map) -> pa.Table:
-            nodes, labs = [], []
-            for a, b in zip(t["a"].to_pylist(), t["b"].to_pylist()):
-                la, lb = lab[a], lab[b]
-                m = min(la, lb)
-                nodes.extend((a, b))
-                labs.extend((m, m))
-            return pa.table(
-                {"node": pa.array(nodes, pa.int64()),
-                 "label": pa.array(labs, pa.int64())}
-            )
-
-        e = ray.get(edges_ref)
-        if len(e) == 0:
-            break
-        proposals = ray.data.from_pandas(e).map_batches(
-            propose, batch_format="pyarrow"
+    def tag_labels(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bucket": pc.cast(
+                    pc.bit_wise_and(t["node"], pa.scalar(NB - 1)), pa.int32()
+                ),
+                "key": t["node"],
+                "side": pa.array(["l"] * t.num_rows, pa.string()),
+                "dst": pa.nulls(t.num_rows, pa.int64()),
+                "label": t["label"],
+            }
         )
-        merged = (
-            proposals.union(labels_ds)
+
+    def join_propose(g: pa.Table) -> pa.Table:
+        # arrow in/out (see star above); the hash join itself is a
+        # pandas merge on the group
+        df = g.to_pandas()
+        e = df[df["side"] == "e"][["key", "dst"]]
+        l = df[df["side"] == "l"][["key", "label"]]
+        m = e.merge(l, on="key", how="inner")
+        return pa.table(
+            {
+                "node": pa.array(m["dst"].to_numpy(dtype=np.int64)),
+                "label": pa.array(m["label"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    tagged_edges = edges.map_batches(tag_edges, batch_format="pyarrow")
+    rounds = 0
+    while True:
+        rounds += 1
+        proposals = tagged_edges.union(
+            labels.map_batches(tag_labels, batch_format="pyarrow")
+        ).groupby("bucket").map_groups(join_propose, batch_format="pyarrow")
+        labels = _compact(
+            proposals.union(labels)
             .groupby("node")
             .aggregate(Min("label", alias_name="label"))
+            .materialize()
         )
-        new_map = {
-            int(r["node"]): int(r["label"]) for r in merged.take_all()
-        }
-        labels_ds = merged
-        if new_map == lab_map:
+        cur_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
+        if cur_sum == prev_sum:
+            break  # labels are monotone non-increasing ⇒ fixpoint
+        prev_sum = cur_sum
+        if rounds >= 64:  # safety bound ≫ any real dup-graph diameter
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "dedup_clusters: label propagation hit %d rounds without "
+                "converging; returning possibly-split clusters", rounds
+            )
             break
 
-    out = labels_ds.to_pandas().rename(columns={"label": "cluster"})
-    return out.sort_values("node").reset_index(drop=True)
+    # one final bucketed LEFT join assigns converged labels back to the
+    # whole corpus; docs with no dup edge keep cluster = own id
+    def tag_docs(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks().cast(pa.int64())
+        return pa.table(
+            {
+                "bucket": pc.cast(
+                    pc.bit_wise_and(ids, pa.scalar(NB - 1)), pa.int32()
+                ),
+                "key": ids,
+                "side": pa.array(["n"] * len(ids), pa.string()),
+                "label": pa.nulls(len(ids), pa.int64()),
+            }
+        )
+
+    def tag_final(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bucket": pc.cast(
+                    pc.bit_wise_and(t["node"], pa.scalar(NB - 1)), pa.int32()
+                ),
+                "key": t["node"],
+                "side": pa.array(["c"] * t.num_rows, pa.string()),
+                "label": t["label"],
+            }
+        )
+
+    def assign(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        n = df[df["side"] == "n"][["key"]]
+        c = df[df["side"] == "c"][["key", "label"]]
+        m = n.merge(c, on="key", how="left")
+        lab = m["label"].fillna(m["key"]).astype(np.int64)
+        return pa.table(
+            {
+                "node": pa.array(m["key"].to_numpy(dtype=np.int64)),
+                "cluster": pa.array(lab.to_numpy()),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id"])
+        .map_batches(tag_docs, batch_format="pyarrow")
+        .union(labels.map_batches(tag_final, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(assign, batch_format="pyarrow")
+        .sort("node")
+    )
 
 
 COSINE_THRESHOLD = 0.35  # fixture embeddings have no true near-dups;

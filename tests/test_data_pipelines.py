@@ -153,7 +153,7 @@ def test_dedup_clusters_match_union_find():
     import pyarrow.parquet as pq
     import pyarrow as pa
 
-    out = dedup.q_dedup_clusters(SF).set_index("node")["cluster"]
+    out = _to_df(dedup.q_dedup_clusters(SF)).set_index("node")["cluster"]
 
     near = dedup.q_dedup_minhash(SF)
     if not isinstance(near, pa.Table):
