@@ -73,8 +73,16 @@ def build_index(pages, total_pages: int | None = None) -> pa.Table:
     else:
         ds = pages
         n = total_pages if total_pages is not None else ds.count()
-    cap = doc_frequency_cap(n)
     pairs = ds.map_batches(_word_pairs, batch_format="pyarrow")
+    return reduce_index(pairs, n)
+
+
+def reduce_index(pairs, n: int) -> pa.Table:
+    """(word, url, wave, url_hash) pairs Dataset → index table (I5):
+    ONE ``groupby(word)`` with the reference's dedup/cap semantics.
+    Split out of :func:`build_index` so the resumable job (I6) can feed
+    checkpointed pair partitions into the same reduce."""
+    cap = doc_frequency_cap(n)
 
     def build(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(["wave", "url_hash"])

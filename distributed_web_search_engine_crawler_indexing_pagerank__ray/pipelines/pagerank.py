@@ -13,12 +13,22 @@ coordinator-side rank update (``PageRank.java:294-322``, the driver
 bottleneck) with:
 
 - graph build: one ``map_batches`` pass over page rows → metadata +
-  edge pairs with dense vertex ids (id map broadcast via ``ray.put``);
-- per iteration: ``map_batches`` over edge blocks computes per-batch
-  partial contribution sums (vectorized ``np.bincount`` — the
-  partial/combiner before the shuffle), a small ``groupby(dst).sum``
-  equivalent via tree reduction of dense partials, then an O(V)
-  vectorized rank update.
+  edge pairs with dense vertex ids.  Id mapping is a vectorized
+  ``np.searchsorted`` against the sorted vertex-key array shared
+  through the object store (``ray.put`` of a numpy array is a
+  ZERO-COPY read per node — no per-task dict deserialization);
+- per iteration: ONE fused Dataset execution — ``map_batches`` over
+  edge blocks emits SPARSE (dst, partial_sum) pairs (sort+reduceat
+  local combine, memory O(E/block) — never a dense length-V array),
+  ``groupby(dst).sum`` is the shuffle (SURVEY §2.5 P5), and the driver
+  applies the O(V) vectorized rank update + residual check.  Dangling
+  mass rides the same shuffle as dst = -2 rows.
+
+Cluster-scale note: the driver holds the O(V) rank/outdeg vectors and
+sorted key array (8–80 B/vertex — the same order as the reference's
+coordinator state).  Past ~10^9 vertices the update itself would move
+into the groupby output (ranks as a Dataset joined to edges); the
+sparse gather below is unchanged by that step.
 """
 
 from __future__ import annotations
@@ -83,104 +93,188 @@ def _graph_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def run_pagerank(pages, damping: float = DAMPING,
-                 max_iterations: int = MAX_ITERATIONS,
-                 convergence: float = CONVERGENCE) -> pa.Table:
-    """pages: Dataset or Table of crawl page rows → pt-pageranks table."""
+def _vertex_keys(graph) -> np.ndarray:
+    """Sorted vertex-key array: vertex id = searchsorted rank.  The only
+    per-vertex driver state is this key array + the rank/outdeg vectors
+    (O(V) — the coordinator floor; see module docstring)."""
+    key_parts = [
+        b["url_hash"].to_numpy(zero_copy_only=False)
+        for b in graph.select_columns(["url_hash"]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    ]
+    if not key_parts:
+        return np.zeros(0, dtype=object)
+    return np.sort(np.concatenate(key_parts))
+
+
+def _build_edges(graph, vkeys_ref, n: int):
+    """Sparse edge pairs per block, ids resolved by vectorized
+    searchsorted against the shared key array.
+    dst = -1: non-vertex dest (mass leaks, reference behavior);
+    dst = -2: dangling-source sentinel row (rank → dangling sum)."""
+
+    def edges_batch(t: pa.Table) -> pa.Table:
+        keys = ray.get(vkeys_ref)
+        src_h = t["url_hash"].to_numpy(zero_copy_only=False)
+        sid = np.searchsorted(keys, src_h).astype(np.int64)
+        dests = t["dests"].combine_chunks()
+        flat = dests.flatten().to_numpy(zero_copy_only=False)
+        counts = np.asarray(dests.value_lengths(), dtype=np.int64)
+        src_rep = np.repeat(sid, counts)
+        if len(flat):
+            pos = np.searchsorted(keys, flat)
+            pos_c = np.clip(pos, 0, n - 1)
+            did = np.where(keys[pos_c] == flat, pos_c, -1).astype(np.int64)
+        else:
+            did = np.zeros(0, dtype=np.int64)
+        dang = sid[counts == 0]
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([src_rep, dang]), pa.int64()),
+                "dst": pa.array(
+                    np.concatenate([did, np.full(len(dang), -2, np.int64)]),
+                    pa.int64(),
+                ),
+                "outdeg": pa.array(
+                    np.concatenate(
+                        [np.repeat(counts, counts), np.zeros(len(dang), np.int64)]
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return graph.map_batches(edges_batch, batch_format="pyarrow").materialize()
+
+
+def _one_iteration(edges, ranks: np.ndarray, n: int, damping: float):
+    """One scatter/gather round; returns (new_ranks, residual)."""
+    from ray.data.aggregate import Sum
+
+    ranks_ref = ray.put(ranks)  # float64 numpy: zero-copy per node
+
+    def partial(t: pa.Table) -> pa.Table:
+            """edge block → SPARSE (dst, partial) pairs: local sort +
+            reduceat combine, O(E/block) memory — the partial/combiner
+            before the groupby(dst) shuffle.  Dangling mass is emitted
+            through the same shuffle as dst = -2."""
+            r = ray.get(ranks_ref)
+            src = t["src"].to_numpy()
+            dst = t["dst"].to_numpy()
+            od = t["outdeg"].to_numpy()
+            out_d: list[np.ndarray] = []
+            out_p: list[np.ndarray] = []
+            dangle_mask = dst == -2
+            if dangle_mask.any():
+                out_d.append(np.array([-2], np.int64))
+                out_p.append(np.array([float(r[src[dangle_mask]].sum())]))
+            edge_mask = dst >= 0  # dst == -1: counted in outdeg, no scatter
+            if edge_mask.any():
+                d = dst[edge_mask]
+                c = r[src[edge_mask]] / od[edge_mask]
+                order = np.argsort(d, kind="stable")
+                ds_, cs = d[order], c[order]
+                uniq, idx = np.unique(ds_, return_index=True)
+                out_d.append(uniq)
+                out_p.append(np.add.reduceat(cs, idx))
+            if not out_d:
+                return pa.table(
+                    {"dst": pa.array([], pa.int64()),
+                     "partial": pa.array([], pa.float64())}
+                )
+            return pa.table(
+                {
+                    "dst": pa.array(np.concatenate(out_d), pa.int64()),
+                    "partial": pa.array(np.concatenate(out_p), pa.float64()),
+                }
+            )
+
+    gathered = (
+        edges.map_batches(partial, batch_format="pyarrow")
+        .groupby("dst")
+        .aggregate(Sum("partial", alias_name="inbound"))
+    )
+    contrib = np.zeros(n)
+    dangling = 0.0
+    for t in gathered.iter_batches(batch_format="pyarrow", batch_size=None):
+        d = t["dst"].to_numpy()
+        s = t["inbound"].to_numpy()
+        dm = d == -2
+        if dm.any():
+            dangling += float(s[dm].sum())
+        vm = d >= 0
+        contrib[d[vm]] = s[vm]
+    new = (1.0 - damping) / n + damping * contrib + damping * dangling / n
+    residual = float(np.max(np.abs(new - ranks))) if n else 0.0
+    return new, residual
+
+
+def _project_ranks(graph, vkeys_ref, ranks: np.ndarray) -> pa.Table:
+    """Final projection: ranks shared back to the graph rows (this is
+    the result table the caller persists)."""
+    final_ref = ray.put(ranks)
+
+    def project(t: pa.Table) -> pa.Table:
+        keys = ray.get(vkeys_ref)
+        r = ray.get(final_ref)
+        ids = np.searchsorted(keys, t["url_hash"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "url_hash": t["url_hash"],
+                "url": t["url"],
+                "title": t["title"],
+                "snippet": t["snippet"],
+                "pagerank": pa.array(r[ids], pa.float64()),
+            }
+        )
+
+    parts = list(
+        graph.map_batches(project, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    return pa.concat_tables(parts).cast(PAGERANK_SCHEMA)
+
+
+def build_graph(pages):
+    """pages (Dataset or Table) → materialized graph Dataset (P1)."""
     if isinstance(pages, pa.Table):
         ds = ray.data.from_arrow(pages.select(["url", "url_hash", "page"]))
     else:
         ds = pages
-    graph = ds.map_batches(_graph_batch, batch_format="pyarrow").materialize()
-    meta_parts = list(graph.iter_batches(batch_format="pyarrow", batch_size=None))
-    if not meta_parts:
+    return ds.map_batches(_graph_batch, batch_format="pyarrow").materialize()
+
+
+def run_pagerank(pages, damping: float = DAMPING,
+                 max_iterations: int = MAX_ITERATIONS,
+                 convergence: float = CONVERGENCE,
+                 init_ranks: np.ndarray | None = None,
+                 start_iteration: int = 0,
+                 on_iteration=None,
+                 graph=None) -> pa.Table:
+    """pages: Dataset or Table of crawl page rows → pt-pageranks table.
+
+    Resume hooks (P9): ``graph`` reuses a pre-built graph Dataset,
+    ``init_ranks``/``start_iteration`` continue from a checkpointed
+    iteration, ``on_iteration(i, ranks, residual)`` is called after
+    every round (the resumable job persists ranks there — matching the
+    reference's staged PageRank state saves,
+    ``ref/src/jobs/PageRank.java:417-450``)."""
+    if graph is None:
+        graph = build_graph(pages)
+    vkeys = _vertex_keys(graph)
+    n = len(vkeys)
+    if n == 0:
         return PAGERANK_SCHEMA.empty_table()
-    meta = pa.concat_tables(meta_parts)
+    vkeys_ref = ray.put(vkeys)  # numpy object array: one copy per node
+    edges = _build_edges(graph, vkeys_ref, n)
 
-    vhashes = sorted(meta["url_hash"].to_pylist())
-    vids = {h: i for i, h in enumerate(vhashes)}
-    n = len(vids)
-    ids_ref = ray.put(vids)
-
-    # dense edge arrays per block: (src_id, dst_id or -1) + outdeg per src
-    def edges_batch(t: pa.Table) -> pa.Table:
-        ids = ray.get(ids_ref)
-        srcs, dsts = [], []
-        dangling = []
-        for h, dd in zip(t["url_hash"].to_pylist(), t["dests"].to_pylist()):
-            sid = ids[h]
-            if not dd:
-                dangling.append(sid)
-                continue
-            for d in dd:
-                srcs.append(sid)
-                dsts.append(ids.get(d, -1))  # -1: non-vertex dest (leaks)
-        # dst = -1: non-vertex dest (mass leaks, reference behavior);
-        # dst = -2: dangling-source sentinel row (rank → dangling sum)
-        return pa.table(
-            {
-                "src": pa.array(srcs + dangling, pa.int32()),
-                "dst": pa.array(dsts + [-2] * len(dangling), pa.int32()),
-            }
-        )
-
-    edges = graph.map_batches(edges_batch, batch_format="pyarrow").materialize()
-
-    # outdeg per source (distinct dests per page — from the graph rows)
-    outdeg = np.zeros(n, dtype=np.int64)
-    for t in meta_parts:
-        for h, dd in zip(t["url_hash"].to_pylist(), t["dests"].to_pylist()):
-            outdeg[vids[h]] = len(dd)
-
-    ranks = np.full(n, 1.0 / n)
-    for _ in range(max_iterations):
-        ranks_ref = ray.put(ranks)
-        outdeg_ref = ray.put(outdeg)
-
-        def partial(t: pa.Table, n=n) -> pa.Table:
-            r = ray.get(ranks_ref)
-            od = ray.get(outdeg_ref)
-            src = t["src"].to_numpy()
-            dst = t["dst"].to_numpy()
-            contrib = np.zeros(n)
-            dang = 0.0
-            edge_mask = dst >= 0
-            leak_mask = dst == -1
-            dangle_mask = dst == -2
-            if dangle_mask.any():
-                dang = float(r[src[dangle_mask]].sum())
-            del leak_mask  # dst == -1 edges: counted in outdeg, no scatter
-            # share = rank/outdeg per edge; only dst>=0 accumulates
-            if edge_mask.any():
-                s = src[edge_mask]
-                np.add.at(contrib, dst[edge_mask], r[s] / od[s])
-            return pa.table(
-                {
-                    "contrib": pa.array(contrib, pa.float64()),
-                    "dangling": pa.array(
-                        [dang] + [0.0] * (n - 1), pa.float64()
-                    ),
-                }
-            )
-
-        parts = list(
-            edges.map_batches(partial, batch_format="pyarrow", batch_size=None)
-            .iter_batches(batch_format="pyarrow", batch_size=None)
-        )
-        contrib = np.zeros(n)
-        dangling = 0.0
-        for t in parts:
-            contrib += t["contrib"].to_numpy()
-            dangling += t["dangling"].to_numpy()[0]
-        new = (1.0 - damping) / n + damping * contrib + damping * dangling / n
-        residual = float(np.max(np.abs(new - ranks))) if n else 0.0
-        ranks = new
+    ranks = np.full(n, 1.0 / n) if init_ranks is None else init_ranks
+    for i in range(start_iteration, max_iterations):
+        ranks, residual = _one_iteration(edges, ranks, n, damping)
+        if on_iteration is not None:
+            on_iteration(i, ranks, residual)
         if residual < convergence:
             break
 
-    out = meta.select(["url_hash", "url", "title", "snippet"])
-    pr = pa.array(
-        [float(ranks[vids[h]]) for h in meta["url_hash"].to_pylist()],
-        pa.float64(),
-    )
-    return out.append_column("pagerank", pr).cast(PAGERANK_SCHEMA)
+    return _project_ranks(graph, vkeys_ref, ranks)

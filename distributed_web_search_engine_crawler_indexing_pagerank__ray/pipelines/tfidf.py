@@ -37,15 +37,9 @@ TFIDF_SCHEMA = pa.schema(
 )
 
 
-def run_tfidf(pages, index_tbl: pa.Table, total_docs: int | None = None) -> pa.Table:
-    """pages: Dataset or Table of crawl page rows; index_tbl: the
-    ``build_index`` output (df source).  Returns pt-tfidf rows."""
-    if isinstance(pages, pa.Table):
-        ds = ray.data.from_arrow(pages.select(["url", "page"]))
-        n = pages.num_rows
-    else:
-        ds = pages
-        n = total_docs if total_docs is not None else ds.count()
+def make_scorer(index_tbl: pa.Table, n: int):
+    """Per-batch scoring fn (T1–T4) with the df map broadcast once via
+    ``ray.put``; shared by :func:`run_tfidf` and the resumable job (T6)."""
     df_map = dict(
         zip(index_tbl["word"].to_pylist(), index_tbl["count"].to_pylist())
     )
@@ -81,6 +75,19 @@ def run_tfidf(pages, index_tbl: pa.Table, total_docs: int | None = None) -> pa.T
             }
         )
 
+    return score
+
+
+def run_tfidf(pages, index_tbl: pa.Table, total_docs: int | None = None) -> pa.Table:
+    """pages: Dataset or Table of crawl page rows; index_tbl: the
+    ``build_index`` output (df source).  Returns pt-tfidf rows."""
+    if isinstance(pages, pa.Table):
+        ds = ray.data.from_arrow(pages.select(["url", "page"]))
+        n = pages.num_rows
+    else:
+        ds = pages
+        n = total_docs if total_docs is not None else ds.count()
+    score = make_scorer(index_tbl, n)
     parts = list(
         ds.map_batches(score, batch_format="pyarrow")
         .iter_batches(batch_format="pyarrow", batch_size=None)
