@@ -23,12 +23,59 @@ RESULTS_PER_PAGE = 10  # ResultPageHandler.RESULTS_PER_PAGE
 SPELL_MAX_DISTANCE = 2  # SpellChecker.java Levenshtein cap
 SUGGEST_LIMIT = 8  # SuggestHandler.java:16-36
 
+# Q9 geo boost, offline parts.  The reverse-geocoding HTTP call
+# (Nominatim, ResultPageHandler.java:265-299) stays excluded — external
+# API — but its pure fallback chain is kept exactly: bounding boxes
+# (``inferCityKeywordFromLocation``, :329-363) and the match boost
+# (``computeGeoBoost``, :366-385) applied as score ×= (1 + 0.2·boost)
+# (:175-177).
+_CITY_BOXES = [  # (lat_lo, lat_hi, lon_lo, lon_hi, city)
+    (40.3, 41.1, -74.5, -73.3, "New York"),
+    (33.7, 34.4, -119.0, -117.5, "Los Angeles"),
+    (37.70, 37.83, -122.53, -122.35, "San Francisco"),
+    (37.70, 37.90, -122.30, -122.10, "Oakland"),
+    (37.20, 37.45, -122.05, -121.75, "San Jose"),
+    (39.8, 40.2, -75.3, -74.8, "Philadelphia"),
+]
+
+
+def infer_city_keyword(lat: float | None, lon: float | None) -> str | None:
+    """Bounding-box city fallback (first matching box wins — the
+    reference checks them in this order, so the overlapping SF/Oakland
+    boxes resolve to San Francisco)."""
+    if lat is None or lon is None or math.isnan(lat) or math.isnan(lon):
+        return None
+    for lat_lo, lat_hi, lon_lo, lon_hi, city in _CITY_BOXES:
+        if lat_lo < lat < lat_hi and lon_lo < lon < lon_hi:
+            return city
+    return None
+
+
+def compute_geo_boost(city_keyword: str | None, lower_title: str,
+                      lower_url: str, lower_snippet: str) -> float:
+    """1.0 on a city-name match in title, url, or snippet; else 0."""
+    if not city_keyword:
+        return 0.0
+    if city_keyword in (lower_title or ""):
+        return 1.0
+    if city_keyword in (lower_url or ""):
+        return 1.0
+    if city_keyword in (lower_snippet or ""):
+        return 1.0
+    return 0.0
+
 
 class QueryEngine:
     """Serving-side state: one instance per serving actor/process."""
 
     def __init__(self, index_tbl: pa.Table, tfidf_tbl: pa.Table,
-                 pageranks_tbl: pa.Table):
+                 pageranks_tbl: pa.Table, tfidf_completion: float = 1.0):
+        # Q6 tfIdfCompletion (ResultPageHandler.java:77-80,128-131):
+        # while a TfIdf build is in flight its partial scores are scaled
+        # by the job's completion ratio; 1.0 (finished build) leaves
+        # scores untouched.  Source of the ratio here: the resumable
+        # job's checkpoint (resume.tfidf_completion).
+        self.tfidf_completion = float(tfidf_completion)
         self.index: dict[str, list[str]] = {}
         for i in range(index_tbl.num_rows):
             self.index[index_tbl["word"][i].as_py()] = index_tbl["postings"][
@@ -86,10 +133,13 @@ class QueryEngine:
 
     # -- Q6/Q7: scoring + sort + title-dedup + page --------------------------
 
-    def search(self, raw_query: str, page_size: int = RESULTS_PER_PAGE) -> list[dict]:
+    def search(self, raw_query: str, page_size: int = RESULTS_PER_PAGE,
+               lat: float | None = None, lon: float | None = None) -> list[dict]:
         words = [self.correct(w) for w in query_tokens(raw_query)]
         if not words:
             return []
+        city = infer_city_keyword(lat, lon)
+        city_kw = city.lower() if city else None
         results = []
         for url in self.candidates(words):
             tf_avg = (
@@ -98,20 +148,27 @@ class QueryEngine:
             )
             m = self.meta.get(ref_hash(url))
             if m is not None:
-                title, _snippet, pr = m
+                title, snippet, pr = m
                 title = title or url
             else:
-                title, pr = url, 0.1  # metadata fallback
+                title, snippet, pr = url, "...", 0.1  # metadata fallback
             pr_score = math.log(1.0 + max(pr, 0.0))
+            tf_avg = max(tf_avg, 0.0)
+            if self.tfidf_completion < 1.0:  # ResultPageHandler.java:128-131
+                tf_avg *= self.tfidf_completion
             lt, lu = title.lower(), url.lower()
             tmatch = sum(1 for w in words if w in lt) / len(words)
             umatch = sum(1 for w in words if w in lu) / len(words)
             score = (
                 0.45 * pr_score
-                + 0.45 * max(tf_avg, 0.0)
+                + 0.45 * tf_avg
                 + 0.07 * tmatch
                 + 0.03 * umatch
             )
+            if city_kw is not None:  # Q9: ResultPageHandler.java:175-177
+                gb = compute_geo_boost(city_kw, lt, lu, (snippet or "").lower())
+                if gb > 0.0:
+                    score *= 1.0 + 0.2 * gb
             if len(url) > 120:
                 score *= 1.0 / (1.0 + (len(url) - 120) / 60.0)
             results.append({"url": url, "title": title, "score": score})

@@ -318,3 +318,16 @@ def _project_from(graph, keys: np.ndarray, ranks: np.ndarray) -> pa.Table:
 
     order = np.argsort(keys)
     return _project_ranks(graph, ray.put(keys[order]), ranks[order])
+
+
+def tfidf_completion(pages_dir: str, ckpt_dir: str) -> float:
+    """Completion ratio of an in-flight resumable TfIdf build — the Q6
+    ``tfIdfCompletion`` source (``ResultPageHandler.java:77-80``; the
+    reference reads it from its TfIdfStatus progress row,
+    ``KVSStorage.java:367``).  1.0 when finished or never started with
+    no partitions."""
+    parts = _partitions(pages_dir)
+    if not parts:
+        return 1.0
+    done = _done(os.path.join(ckpt_dir, "tfidf")) & set(parts)
+    return len(done) / len(parts)

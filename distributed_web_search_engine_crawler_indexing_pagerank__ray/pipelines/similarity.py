@@ -104,94 +104,158 @@ SELECT query_id, vec_id, cos FROM r WHERE rn <= {TOP_K}
 """
 
 
-N_LSH_TABLES = 12  # L hash tables of K planes (standard multi-probe LSH)
-N_LSH_PLANES = 4  # 2^K = 16 buckets per table
+N_LSH_TABLES = 8  # L hash tables of K planes each
+N_LSH_PLANES = 10  # 2^K = 1024 buckets per table
+N_LSH_PROBES = 8  # T buckets probed per (query, table), query-directed
+
+
+def _lsh_buckets(m: np.ndarray, pl: np.ndarray) -> np.ndarray:
+    """(n, dim) → (n, L) bucket ids (sign of K random projections)."""
+    out = np.zeros((m.shape[0], N_LSH_TABLES), dtype=np.int64)
+    for t in range(N_LSH_TABLES):
+        sig = (m @ pl[t] > 0)
+        for b in range(N_LSH_PLANES):
+            out[:, t] |= sig[:, b].astype(np.int64) << b
+    return out
+
+
+def _probe_sequence(z: np.ndarray, n_probes: int) -> list[int]:
+    """Query-directed multi-probe (Lv et al., VLDB'07): probe the exact
+    bucket plus the buckets reached by flipping the LOWEST-MARGIN bits
+    (|projection| smallest ⇒ neighbor most likely across that
+    hyperplane), subsets of size ≤ 3 among the 6 lowest, ranked by the
+    summed flipped margin."""
+    import itertools
+
+    k = len(z)
+    base = 0
+    for b in range(k):
+        if z[b] > 0:
+            base |= 1 << b
+    low = np.argsort(np.abs(z))[:6]
+    scored: list[tuple[float, int]] = []
+    for r in range(1, 4):
+        for comb in itertools.combinations(low, r):
+            bkt = base
+            for b in comb:
+                bkt ^= 1 << int(b)
+            scored.append((float(sum(abs(z[b]) for b in comb)), bkt))
+    scored.sort()
+    return [base] + [b for _, b in scored[: max(0, n_probes - 1)]]
 
 
 def q_knn_lsh(sf_dir: str):
-    """LSH-bucketed ANN (scale path): L random-hyperplane hash tables;
-    each vector lands in one bucket per table, a query scans only its
-    own L buckets.  Expected fraction of the corpus scanned ≈
-    L / 2^K (here ~12/16 of a *random* corpus in the worst case, far
-    less under clustered real embeddings) — recall < 1 by design;
-    tests assert mean recall ≥ 0.6 vs brute force on the fixture."""
+    """LSH-bucketed ANN (scale path): L = 8 random-hyperplane tables of
+    K = 10 planes (1024 buckets/table) with query-directed multi-probe
+    (T = 8 buckets per table, lowest-margin bit flips) — expected
+    ``L·T/2^K ≈ 6 %`` of a RANDOM corpus scanned (the measured fraction
+    is logged per run; on the near-random sf fixtures recall tracks the
+    scanned fraction because there is no angular structure to exploit —
+    the planted-neighbor test in tests/ shows recall 1.0 at single-digit
+    background scan on clustered data, LSH's actual regime).
+
+    Shape: the index rows carry ``(vec_id, table, bucket)`` ONLY — the
+    embedding column is never duplicated L×.  The probed buckets'
+    member ids form the candidate set (a broadcast-filter semi-join,
+    candidates ≪ corpus by construction); candidate embeddings are then
+    fetched by one ``pc.is_in`` filter over the embeddings table and
+    scored exactly (partial top-k per batch, brute-force pattern).  At
+    cluster scale the index rows would be PERSISTED bucket-partitioned
+    so this fetch prunes at the read instead of filter-scanning."""
+    import logging
+
+    import pyarrow.compute as pc
+
     rng = np.random.default_rng(42)
     qids, qmat = _query_matrix(sf_dir)
     dim = qmat.shape[1]
     planes = rng.standard_normal((N_LSH_TABLES, dim, N_LSH_PLANES))
-    p_ref = ray.put((qids, qmat, planes))
+    p_ref = ray.put(planes)
 
-    def _buckets(m: np.ndarray, pl: np.ndarray) -> np.ndarray:
-        """(n, dim) → (n, L) bucket ids."""
-        out = np.zeros((m.shape[0], N_LSH_TABLES), dtype=np.int64)
+    # wanted (table, bucket) keys from the per-query probe sequences,
+    # encoded as table * 2^K + bucket for a single vectorized is_in
+    wanted: set[int] = set()
+    for j in range(len(qids)):
         for t in range(N_LSH_TABLES):
-            sig = (m @ pl[t] > 0)
-            for b in range(N_LSH_PLANES):
-                out[:, t] |= sig[:, b].astype(np.int64) << b
-        return out
+            z = qmat[j] @ planes[t]
+            for b in _probe_sequence(z, N_LSH_PROBES):
+                wanted.add(t * (1 << N_LSH_PLANES) + b)
+    wanted_arr = pa.array(sorted(wanted), pa.int64())
+    wanted_ref = ray.put(wanted_arr)
 
-    def bucketize(t: pa.Table) -> pa.Table:
-        """Explode each vector to (table, bucket) rows — the LSH index."""
-        _, _, pl = ray.get(p_ref)
+    def bucket_ids(t: pa.Table) -> pa.Table:
+        """vector → its L (table, bucket) index rows, filtered to the
+        probed buckets (ids only — no embedding payload)."""
+        pl = ray.get(p_ref)
+        want = ray.get(wanted_ref)
         ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
         m = np.stack(
             [np.asarray(e, dtype=np.float64) for e in t["embedding"].to_pylist()]
         )
-        bk = _buckets(m, pl)
-        n = len(ids)
-        return pa.table(
-            {
-                "vec_id": pa.array(np.repeat(ids, N_LSH_TABLES), pa.int64()),
-                "embedding": pa.array(
-                    [e for e in t["embedding"].to_pylist() for _ in range(N_LSH_TABLES)]
-                ),
-                "table": pa.array(
-                    np.tile(np.arange(N_LSH_TABLES), n), pa.int32()
-                ),
-                "bucket": pa.array(bk.ravel(), pa.int64()),
-            }
+        bk = _lsh_buckets(m, pl)  # (n, L)
+        keys = (
+            np.arange(N_LSH_TABLES, dtype=np.int64)[None, :]
+            * (1 << N_LSH_PLANES)
+            + bk
+        ).ravel()
+        vid = np.repeat(ids, N_LSH_TABLES)
+        hit = pc.is_in(pa.array(keys, pa.int64()), value_set=want).to_numpy(
+            zero_copy_only=False
         )
+        return pa.table({"vec_id": pa.array(np.unique(vid[hit]), pa.int64())})
 
-    ds = _emb(sf_dir).map_batches(bucketize, batch_format="pyarrow")
+    cand_ids = sorted(
+        _emb(sf_dir).map_batches(bucket_ids, batch_format="pyarrow").unique("vec_id")
+    )
+    n_total = _emb(sf_dir).count()
+    frac = len(cand_ids) / max(1, n_total)
+    logging.getLogger(__name__).info(
+        "knn_lsh: scanning %d/%d vectors (%.1f%% of corpus)",
+        len(cand_ids), n_total, 100 * frac,
+    )
+    if not cand_ids:
+        return pd.DataFrame(
+            {"query_id": pd.Series(dtype="int64"),
+             "vec_id": pd.Series(dtype="int64"),
+             "cos": pd.Series(dtype="float64")}
+        )
+    cand_ref = ray.put(pa.array(cand_ids, pa.int64()))
+    q_ref = ray.put((qids, qmat))
 
-    q_bk = _buckets(qmat, planes)  # (q, L)
-    q_buckets: dict[tuple[int, int], list[int]] = {}
-    for j, qid in enumerate(qids):
-        for t in range(N_LSH_TABLES):
-            q_buckets.setdefault((t, int(q_bk[j, t])), []).append(j)
-    wanted_ref = ray.put(q_buckets)
-
-    def search(g: pd.DataFrame) -> pd.DataFrame:
-        qids_, qmat_, _ = ray.get(p_ref)
-        wanted = ray.get(wanted_ref)
-        key = (int(g["table"].iloc[0]), int(g["bucket"].iloc[0]))
-        qjs = wanted.get(key, [])
-        if not qjs:
-            return pd.DataFrame(
-                {"query_id": pd.Series(dtype="int64"),
-                 "vec_id": pd.Series(dtype="int64"),
-                 "cos": pd.Series(dtype="float64")}
+    def score_candidates(t: pa.Table) -> pa.Table:
+        cids = ray.get(cand_ref)
+        t = t.filter(pc.is_in(t["vec_id"], value_set=cids))
+        if t.num_rows == 0:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()),
+                 "vec_id": pa.array([], pa.int64()),
+                 "cos": pa.array([], pa.float64())}
             )
-        g = g.drop_duplicates("vec_id")
-        m = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+        qids_, qmat_ = ray.get(q_ref)
+        ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+        m = np.stack(
+            [np.asarray(e, dtype=np.float64) for e in t["embedding"].to_pylist()]
+        )
         norms = np.linalg.norm(m, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         sims = np.round((m / norms) @ qmat_.T, 4)
-        ids = g["vec_id"].to_numpy()
-        frames = []
-        for j in qjs:
+        out_q, out_v, out_s = [], [], []
+        for j, qid in enumerate(qids_):
             order = np.lexsort((ids, -sims[:, j]))[:TOP_K]
-            frames.append(
-                pd.DataFrame(
-                    {"query_id": qids_[j], "vec_id": ids[order],
-                     "cos": sims[order, j]}
-                )
-            )
-        return pd.concat(frames, ignore_index=True)
+            out_q.extend([qid] * len(order))
+            out_v.extend(ids[order].tolist())
+            out_s.extend(sims[order, j].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "cos": pa.array(out_s, pa.float64()),
+            }
+        )
 
     partials = (
-        ds.groupby(["table", "bucket"])
-        .map_groups(search, batch_format="pandas")
+        _emb(sf_dir)
+        .map_batches(score_candidates, batch_format="pyarrow")
         .to_pandas()
     )
     if len(partials) == 0:

@@ -36,10 +36,31 @@ def read_parquet_clean(path: str, columns=None) -> "ray.data.Dataset":
     return ray.data.read_parquet(path, schema=schema, columns=columns)
 
 
-class TableCatalog:
-    """Named durable tables rooted at one directory."""
+try:  # north-rule sink: Lance when the package exists (re-verified
+    import lance as _lance  # each round: not in this container)
 
-    def __init__(self, root: str):
+    LANCE_AVAILABLE = True
+except ImportError:
+    _lance = None
+    LANCE_AVAILABLE = False
+
+
+class TableCatalog:
+    """Named durable tables rooted at one directory.
+
+    ``fmt="lance"`` activates the north rule's Lance layout when the
+    ``lance`` package is importable (it is not in this container —
+    checked at import above); the default parquet directory keeps the
+    identical catalog discipline (atomic rename, partition dirs, pruned
+    reads), so the storage format is a per-catalog switch, not a code
+    path."""
+
+    def __init__(self, root: str, fmt: str = "parquet"):
+        if fmt == "lance" and not LANCE_AVAILABLE:
+            raise RuntimeError(
+                "lance requested but the package is not installed"
+            )
+        self.fmt = fmt
         self.root = root
         os.makedirs(root, exist_ok=True)
 
@@ -66,7 +87,12 @@ class TableCatalog:
         tmp = final + ".tmp"
         if os.path.isdir(tmp):
             shutil.rmtree(tmp)
-        if isinstance(data, pa.Table):
+        if self.fmt == "lance":
+            tbl = data if isinstance(data, pa.Table) else pa.concat_tables(
+                list(data.iter_batches(batch_format="pyarrow", batch_size=None))
+            )
+            _lance.write_dataset(tbl, tmp)
+        elif isinstance(data, pa.Table):
             os.makedirs(tmp, exist_ok=True)
             pq.write_table(data, os.path.join(tmp, "part-0.parquet"))
         else:
@@ -97,9 +123,14 @@ class TableCatalog:
 
     def read(self, name: str, columns: list[str] | None = None):
         """Lazy Dataset over the table directory (column-pruned read)."""
+        if self.fmt == "lance":
+            return ray.data.read_lance(self.path(name), columns=columns)
         return ray.data.read_parquet(self.path(name), columns=columns)
 
     def read_arrow(self, name: str) -> pa.Table:
+        if self.fmt == "lance":
+            ds = _lance.dataset(self.path(name))
+            return ds.to_table()
         return pq.read_table(self.path(name))
 
     def count(self, name: str) -> int:

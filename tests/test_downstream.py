@@ -155,3 +155,31 @@ def test_autocomplete_and_spellcheck(oracle_run, engine_pages, ray_session):
     # a 1-edit typo corrects back to a dictionary word
     typo = some[:-1] + ("x" if some[-1] != "x" else "y")
     assert qe.correct(typo) in oindex or qe.correct(typo) == typo
+
+
+def test_q9_geo_boost_pure_parts():
+    """Q9 offline parts: bounding-box city inference
+    (ResultPageHandler.java:329-363, first box wins) and the match
+    boost (:366-385) with the x1.2 score multiplier (:175-177).  The
+    Nominatim HTTP path stays excluded (external API)."""
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines.query import (
+        compute_geo_boost,
+        infer_city_keyword,
+    )
+
+    assert infer_city_keyword(40.7, -74.0) == "New York"
+    assert infer_city_keyword(34.05, -118.25) == "Los Angeles"
+    # SF box is checked before Oakland's overlapping one
+    assert infer_city_keyword(37.78, -122.42) == "San Francisco"
+    assert infer_city_keyword(37.80, -122.20) == "Oakland"
+    assert infer_city_keyword(37.33, -121.90) == "San Jose"
+    assert infer_city_keyword(40.0, -75.1) == "Philadelphia"
+    assert infer_city_keyword(51.5, -0.1) is None  # outside every box
+    assert infer_city_keyword(None, -74.0) is None
+    assert infer_city_keyword(float("nan"), -74.0) is None
+
+    assert compute_geo_boost("new york", "visit new york now", "", "") == 1.0
+    assert compute_geo_boost("new york", "", "http://newyork.example/new york", "") == 1.0
+    assert compute_geo_boost("new york", "", "", "snippet about new york") == 1.0
+    assert compute_geo_boost("new york", "boston", "http://x/", "nothing") == 0.0
+    assert compute_geo_boost(None, "new york", "", "") == 0.0

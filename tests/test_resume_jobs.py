@@ -91,3 +91,57 @@ def test_pagerank_resume_equivalence(crawl_out, tmp_path):
         r = run_pagerank_resumable(out, ck)
     got = r.sort_by("url_hash")
     assert got.equals(want), "resumed pagerank differs from single-shot"
+
+
+def test_tfidf_completion_scales_q6(crawl_out, tmp_path):
+    """Q6 tfIdfCompletion: a half-built tfidf scales the tf component of
+    the composite score (ResultPageHandler.java:128-131); a finished
+    build (ratio 1.0) leaves scores untouched."""
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines.index import (
+        build_index,
+    )
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines.pagerank import (
+        run_pagerank,
+    )
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines.query import (
+        QueryEngine,
+    )
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines.resume import (
+        run_tfidf_resumable,
+        tfidf_completion,
+    )
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines.tfidf import (
+        run_tfidf,
+    )
+
+    out, pages = crawl_out
+    idx = build_index(pages)
+    tf = run_tfidf(pages, idx)
+    pr = run_pagerank(pages)
+
+    ck = str(tmp_path / "qck")
+    assert tfidf_completion(out, ck) == 0.0  # nothing built yet
+    assert run_tfidf_resumable(out, idx, ck, max_partitions=2) is None
+    ratio = tfidf_completion(out, ck)
+    assert 0.0 < ratio < 1.0
+    run_tfidf_resumable(out, idx, ck)
+    assert tfidf_completion(out, ck) == 1.0
+
+    # pick a query word that actually has postings
+    word = idx["word"][0].as_py()
+    full = QueryEngine(idx, tf, pr)
+    partial = QueryEngine(idx, tf, pr, tfidf_completion=ratio)
+    r_full = full.search(word)
+    r_part = partial.search(word)
+    assert r_full, "query should hit the index"
+    by_url_full = {r["url"]: r["score"] for r in r_full}
+    by_url_part = {r["url"]: r["score"] for r in r_part}
+    # scores with a tf component must strictly shrink under ratio < 1
+    assert any(
+        by_url_part[u] < by_url_full[u] - 1e-12
+        for u in by_url_part
+        if u in by_url_full
+    )
+    # ratio 1.0 is the identity (oracle-equality of finished pipelines)
+    same = QueryEngine(idx, tf, pr, tfidf_completion=1.0).search(word)
+    assert same == r_full

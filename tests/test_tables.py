@@ -54,3 +54,26 @@ def test_run_job_with_flame_ops(tmp_path):
         "a": "2", "b": "1", "c": "1"
     }
     assert result == 3
+
+
+def test_lance_format_gating(tmp_path):
+    """The Lance sink is a per-catalog switch, gated on the package
+    being importable (re-verified: absent in this container)."""
+    import pytest
+
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.sources.tables import (
+        LANCE_AVAILABLE,
+        TableCatalog,
+    )
+
+    if not LANCE_AVAILABLE:
+        with pytest.raises(RuntimeError, match="lance"):
+            TableCatalog(str(tmp_path / "cat"), fmt="lance")
+        return
+    import pyarrow as pa
+
+    cat = TableCatalog(str(tmp_path / "cat"), fmt="lance")
+    t = pa.table({"k": [1, 2, 3], "v": ["a", "b", "c"]})
+    cat.write("pt-x", t)
+    assert cat.read_arrow("pt-x").equals(t)
+    assert cat.read("pt-x").count() == 3
