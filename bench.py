@@ -137,12 +137,25 @@ def run_scaling() -> dict:
             RAY_GRAFT_CPUS=str(ncpu),
             BENCH_QUERIES_SKIP="1",
         )
+
+        def _pin() -> None:
+            # Pin the whole process tree (ray workers inherit the mask)
+            # to ncpu PHYSICAL cores.  `ray.init(num_cpus=N)` only
+            # limits SCHEDULING — without the mask, the low level's few
+            # task processes burst onto all 32 cores through Arrow /
+            # parquet / numpy thread pools, inflating its throughput
+            # and deflating the measured efficiency.  The mask makes
+            # each level an honest N-core machine (the sandbox
+            # substitute for an N-node cluster, BASELINE.md §4).
+            os.sched_setaffinity(0, set(range(ncpu)))
+
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
             capture_output=True,
             text=True,
             check=True,
+            preexec_fn=_pin,
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 

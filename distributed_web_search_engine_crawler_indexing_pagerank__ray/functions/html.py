@@ -134,13 +134,26 @@ _TAG_RE = re.compile(r"<[^>]+>")
 _WS_RE = re.compile(r"\s+", re.ASCII)
 
 
+def _collapse_ws_strip(s: str) -> str:
+    """``_WS_RE.sub(" ", s).strip()`` with a fast path: for pure-ASCII
+    text without the \\x1c–\\x1f separators, ``" ".join(s.split())`` is
+    byte-identical (str.split's extra whitespace set is exactly unicode
+    ws + those four separators) and ~3.5× faster than the per-match
+    regex sub — this collapse was the single hottest kernel of the
+    crawl's span build (1.0 of 2.0 ms/page).  Non-ASCII input falls
+    back to the reference-exact regex."""
+    if s.isascii() and "\x1c" not in s and "\x1d" not in s \
+            and "\x1e" not in s and "\x1f" not in s:
+        return " ".join(s.split())
+    return _WS_RE.sub(" ", s).strip()
+
+
 def clean_text(text: str | None) -> str:
     """``PageRank.cleanText`` (``PageRank.java:700-705``)."""
     if text is None:
         return ""
     t = _TAG_RE.sub(" ", text)
-    t = _WS_RE.sub(" ", t)
-    return t.strip()
+    return _collapse_ws_strip(t)
 
 
 def extract_title(html: str | None) -> str:
@@ -264,8 +277,7 @@ def extract_body_text_pagerank(html: str | None) -> str:
         .replace("&quot;", '"')
         .replace("&#39;", "'")
     )
-    text = _WS_RE.sub(" ", text)
-    return text.strip()
+    return _collapse_ws_strip(text)
 
 
 def generate_snippet(html: str | None) -> str:
@@ -296,6 +308,8 @@ def generate_snippet(html: str | None) -> str:
 _IX_SCRIPT_RE = re.compile(r"(?i)<script[^>]*>.*?</script>")
 _IX_STYLE_RE = re.compile(r"(?i)<style[^>]*>.*?</style>")
 _IX_TAG_RE = re.compile(r"<[^>]+>")
+_IX_BODY_OPEN_RE = re.compile(r"<body", re.I)
+_IX_BODY_CLOSE_RE = re.compile(r"</body>", re.I)
 
 
 def extract_body_text_index(html: str | None) -> str:
@@ -303,14 +317,14 @@ def extract_body_text_index(html: str | None) -> str:
         return ""
     html = _IX_SCRIPT_RE.sub(" ", html)
     html = _IX_STYLE_RE.sub(" ", html)
-    body_start = html.lower().find("<body")
-    if body_start != -1:
-        closing = html.find(">", body_start)
+    m = _IX_BODY_OPEN_RE.search(html)  # case-insensitive search — no
+    if m is not None:  # full .lower() copies of the page
+        closing = html.find(">", m.start())
         if closing != -1 and closing < len(html) - 1:
             body_start = closing + 1
-            body_end = html.lower().find("</body>", body_start)
-            if body_end != -1:
-                html = html[body_start:body_end]
+            m2 = _IX_BODY_CLOSE_RE.search(html, body_start)
+            if m2 is not None:
+                html = html[body_start:m2.start()]
     html = _IX_TAG_RE.sub(" ", html)
     html = (
         html.replace("&nbsp;", " ")
@@ -318,8 +332,7 @@ def extract_body_text_index(html: str | None) -> str:
         .replace("&lt;", "<")
         .replace("&gt;", ">")
     )
-    html = _WS_RE.sub(" ", html)
-    return html.strip()
+    return _collapse_ws_strip(html)
 
 
 # ---------------------------------------------------------------------------
@@ -350,8 +363,7 @@ def extract_body_text_tfidf(html: str | None) -> str:
         .replace("&lt;", "<")
         .replace("&gt;", ">")
     )
-    cleaned = _WS_RE.sub(" ", cleaned)
-    return cleaned.strip()
+    return _collapse_ws_strip(cleaned)
 
 
 # ---------------------------------------------------------------------------
@@ -432,6 +444,48 @@ def extract_links_pagerank(source_url: str | None, html: str | None) -> list[str
 # ---------------------------------------------------------------------------
 
 
+def build_span_columns(html: str | None):
+    """Columnar form of :func:`build_spans`: four parallel lists
+    ``(kinds, texts, media_refs, offsets)`` sorted by (offset, kind),
+    plus the raw hrefs in document-scan order (= the link-span texts
+    before sorting — the fetch stage previously ran the link scan a
+    second time for them).  The hot fetch path builds Arrow arrays
+    straight from these lists instead of materializing one Python dict
+    per span (~135 dicts/page × 60k pages/wave at bench scale)."""
+    if html is None:
+        return [], [], [], [], []
+    rows: list[tuple[int, str, str, str]] = []  # (offset, kind, text, ref)
+    lower = html.lower()
+
+    title = extract_title(html)
+    if title:
+        rows.append((max(lower.find("<title"), 0), "title", title, ""))
+
+    text = extract_body_text_index(html)
+    if text:
+        b_off = lower.find("<body")
+        if b_off != -1:
+            close = html.find(">", b_off)
+            b_off = close + 1 if close != -1 else b_off
+        rows.append((max(b_off, 0), "text", text, ""))
+
+    link_rows = extract_urls_with_offsets(html)
+    raw_links = [u for u, _ in link_rows]
+    for href, off in link_rows:
+        rows.append((off, "link", href, ""))
+    for src, off in extract_media_with_offsets(html):
+        rows.append((off, "media", "", src))
+
+    rows.sort(key=lambda r: (r[0], r[1]))
+    return (
+        [r[1] for r in rows],
+        [r[2] for r in rows],
+        [r[3] for r in rows],
+        [r[0] for r in rows],
+        raw_links,
+    )
+
+
 def build_spans(html: str | None) -> list[dict]:
     """Render a fetched page into the interleaved text+media span list.
 
@@ -446,32 +500,8 @@ def build_spans(html: str | None) -> list[dict]:
     Spans are sorted by offset (ties: title < text < link < media by
     construction of distinct offsets in the fixtures).
     """
-    if html is None:
-        return []
-    spans: list[dict] = []
-    lower = html.lower()
-
-    title = extract_title(html)
-    if title:
-        t_off = lower.find("<title")
-        spans.append(
-            {"kind": "title", "text": title, "media_ref": "", "offset": max(t_off, 0)}
-        )
-
-    text = extract_body_text_index(html)
-    if text:
-        b_off = lower.find("<body")
-        if b_off != -1:
-            close = html.find(">", b_off)
-            b_off = close + 1 if close != -1 else b_off
-        spans.append(
-            {"kind": "text", "text": text, "media_ref": "", "offset": max(b_off, 0)}
-        )
-
-    for href, off in extract_urls_with_offsets(html):
-        spans.append({"kind": "link", "text": href, "media_ref": "", "offset": off})
-    for src, off in extract_media_with_offsets(html):
-        spans.append({"kind": "media", "text": "", "media_ref": src, "offset": off})
-
-    spans.sort(key=lambda s: (s["offset"], s["kind"]))
-    return spans
+    kinds, texts, refs, offs, _raw = build_span_columns(html)
+    return [
+        {"kind": k, "text": t, "media_ref": r, "offset": o}
+        for k, t, r, o in zip(kinds, texts, refs, offs)
+    ]

@@ -2,35 +2,43 @@
 
 Replaces the reference's round loop (``src/jobs/Crawler.java:131-438``)
 — per-URL synchronous KVS RPCs inside a Flame ``flatMap`` — with
-explicit BFS waves, each ONE fused ``ray.data`` execution:
+explicit BFS waves, each ONE fused ``ray.data`` execution of ONE merged
+stage over hash-partitioned frontier blocks:
 
-    frontier (Arrow array, distinct + sorted) ──► split into blocks at
-        host boundaries (a host's URLs never straddle blocks)
-        ──► admit_stage (map_batches): canonical keys → HostShard
-            politeness actors (hash-sharded by hostname; robots cache,
-            next-fetch-time walk at virtual t_k, host caps) →
-            completions buffered into SeenShards
-        ──► fetch_post (map_batches): synthetic fetch of admitted hits,
-            interleaved-span page rows written to `wave=K/` parquet
-            in-stage, link pipeline + enqueue probes against the
-            wave-start seen snapshot; emits URL strings only
-        ──► driver: next frontier = distinct(raw ∪ survivors ∪
-            redirects) via pyarrow kernels; SeenShard ``reconcile`` +
-            HostShard ``end_wave`` barrier commits the wave.
+    frontier (pa.Table of (url, part), part = hash(hostname) % P
+    assigned inside the PREVIOUS wave's tasks; duplicates allowed)
+        ──► driver groups whole partitions into ~equal blocks (one
+            vectorized int sort — no string sort, no boundary probing,
+            no global distinct on the driver)
+        ──► wave_stage (map_batches, stages/fetch.py): block-local
+            distinct → HostShard politeness admission (hash-sharded by
+            hostname; robots cache, next-fetch-time walk at virtual
+            t_k, host caps) → synthetic fetch → interleaved-span page
+            rows to `wave=K/` parquet in-stage → link pipeline +
+            enqueue probes against the wave-start seen snapshot →
+            partitioned frontier contributions out (SeenShard writes
+            fired async and awaited at block end — RPC/compute overlap)
+        ──► driver: next frontier = the (raw ∪ survivors ∪ redirect)
+            contribution rows, still partitioned and with duplicates
+            (each next-wave block dedups itself); SeenShard
+            ``reconcile`` + HostShard ``end_wave`` barrier commits.
 
 Wave semantics are the virtual-time model documented in
 ``oracle/crawl_oracle.py`` — the engine's per-wave outputs are tested
 for exact equality (attempted / fetched / throttled / visited /
 enqueued / frontier / final seen set / span sequences) against that
-single-threaded oracle.
+single-threaded oracle.  Determinism under the new partitioning: a
+block holds COMPLETE hostname groups by construction (partition key =
+hostname hash), and decisions depend only on shard state + complete
+host groups + t_k, so block composition cannot change results.
 
 Scale notes (10^10-URL frontier): page payloads never reach the driver
 (written to `wave=K/` parquet partitions from inside the stage — the
 resumable-output layout); state exchanges are batched actor RPCs
 sharded by hash (no all-to-all shuffle in the steady state); the only
-driver-held per-URL data is the frontier string array for the current
-wave, manipulated with Arrow kernels (no Python row loops) — at
-extreme scale that array would page through parquet manifests instead,
+driver-held per-URL data is the partitioned frontier table for the
+current wave, touched only by vectorized kernels — at extreme scale
+that table would page through per-partition parquet manifests instead,
 a mechanical swap noted here for the cluster deployment.
 """
 
@@ -47,14 +55,15 @@ import pyarrow.parquet as pq
 import ray
 import ray.data
 
+from ..functions.urlnorm import hostname as _hostname
 from ..functions.urlnorm import normalize_seed_url
 from ..sources.synthetic_web import CrawlParams, SyntheticWeb, WebConfig
 from ..state.actors import HostShard, SeenShard, ref_hash_and_key64
 from ..stages.fetch import (
     CONTRIB_SCHEMA,
     PAGE_OUT_SCHEMA,
-    make_admit_stage,
-    make_fetch_post_stage,
+    make_wave_stage,
+    part_of_hostname,
 )
 
 
@@ -72,63 +81,44 @@ def _sorted_unique(arr) -> pa.Array:
     return u.take(idx)
 
 
-def _canonical_sort_keys(arr: pa.Array) -> pa.Array:
-    """Frontier block-sort key: the URL with a default port stripped
-    from the authority, so every URL of one ``host_key``
-    (``extract_host_key`` defaults :80/:443) is CONTIGUOUS after
-    sorting — raw hrefs written with an explicit default port
-    (``http://h:80/x``) must land in the same admission block as the
-    canonical form (same politeness state)."""
-    k = pc.replace_substring_regex(
-        arr, pattern=r"^http://([^/:]+):80(/.*)?$", replacement=r"http://\1\2"
-    )
-    return pc.replace_substring_regex(
-        k, pattern=r"^https://([^/:]+):443(/.*)?$", replacement=r"https://\1\2"
-    )
+N_FRONTIER_PARTS = 192  # fixed hostname-hash partition count: identical
+# partitioning at every parallelism level; blocks = groups of partitions
 
 
-def _authority_prefix(key: str) -> str:
-    """scheme://authority of a canonical sort key; raw hrefs (stateless
-    admission) are their own group, so boundaries between them are
-    safe."""
-    for scheme in ("http://", "https://"):
-        if key.startswith(scheme):
-            end = key.find("/", len(scheme))
-            return key if end == -1 else key[:end]
-    return key
+def _blocks_from_partitions(tbl: pa.Table, n_blocks: int) -> list[pa.Table]:
+    """Group the hash-partitioned frontier into ~equal row-count blocks.
 
+    ``tbl`` is (url, part) with ``part = hash(hostname) % P`` assigned
+    INSIDE the previous wave's tasks — one vectorized int sort (no
+    driver string sort, no boundary probing) makes every partition
+    contiguous, and any run of whole partitions is a valid block
+    (complete host groups by construction).  Duplicates survive here;
+    each block dedups itself in the wave stage."""
+    import numpy as np
 
-def _split_frontier(arr: pa.Array, n_blocks: int) -> list[pa.Table]:
-    """Sort the distinct frontier by (canonical key, url) and slice it
-    into ~equal blocks, moving each cut forward so no host's URLs
-    straddle a boundary.  Zero-copy slices."""
-    n = len(arr)
+    n = tbl.num_rows
     if n == 0:
         return []
-    keys = _canonical_sort_keys(arr)
-    order = pc.sort_indices(
-        pa.table({"k": keys, "u": arr}),
-        sort_keys=[("k", "ascending"), ("u", "ascending")],
-    )
-    arr = arr.take(order)
-    keys = keys.take(order)
-    n_blocks = max(1, min(n_blocks, n))
-    step = (n + n_blocks - 1) // n_blocks
-    cuts = [0]
-    i = step
-    while i < n:
-        prev = _authority_prefix(keys[i - 1].as_py())
-        while i < n and _authority_prefix(keys[i].as_py()) == prev:
-            i += 1
-        if i < n:
-            cuts.append(i)
-        i += step
-    cuts.append(n)
-    out = []
-    for a, b in zip(cuts, cuts[1:]):
-        if b > a:
-            out.append(pa.table({"url": arr.slice(a, b - a)}))
-    return out
+    parts = tbl["part"].combine_chunks().to_numpy()
+    order = np.argsort(parts, kind="stable")
+    sorted_tbl = tbl.take(pa.array(order)).select(["url"])
+    sp = parts[order]
+    _uniq, starts = np.unique(sp, return_index=True)
+    starts = starts.tolist() + [n]
+    n_blocks = max(1, min(n_blocks, len(starts) - 1))
+    target = max(1, n // n_blocks)
+    out: list[pa.Table] = []
+    block_start = starts[0]
+    for i in range(1, len(starts)):
+        if (
+            starts[i] - block_start >= target
+            and len(out) < n_blocks - 1
+        ) or i == len(starts) - 1:
+            out.append(sorted_tbl.slice(block_start, starts[i] - block_start))
+            block_start = starts[i]
+    if block_start < n:
+        out.append(sorted_tbl.slice(block_start, n - block_start))
+    return [b for b in out if b.num_rows]
 
 
 class CrawlEngine:
@@ -227,47 +217,69 @@ class CrawlEngine:
         self.frontier = normalized
         return normalized
 
+    # -- frontier representation ----------------------------------------------
+
+    def _partition_table(self, urls) -> pa.Table:
+        """(url, part) frontier table for the cold paths (seeds, queue
+        refill, checkpoint resume without a part column) — the steady
+        state gets parts assigned inside the wave tasks."""
+        urls = list(urls)
+        parts = [
+            part_of_hostname(_hostname(u), N_FRONTIER_PARTS) for u in urls
+        ]
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "part": pa.array(parts, pa.int32()),
+            }
+        )
+
+    def _frontier_table(self) -> pa.Table:
+        f = self.frontier
+        if isinstance(f, pa.Table):
+            return f
+        if isinstance(f, (pa.Array, pa.ChunkedArray)):
+            return self._partition_table(f.to_pylist())
+        return self._partition_table(f)
+
     # -- one wave ------------------------------------------------------------
 
-    def run_wave(self) -> pa.Array:
+    def run_wave(self) -> pa.Table:
         p = self.params
         k = self.wave_idx
         t_k = p.t0_ms + k * p.wave_ms
         stats = WaveStats(wave=k, t_ms=t_k)
         wall0 = time.time()
 
-        frontier_arr = _sorted_unique(self.frontier)
-        stats["attempted"] = len(frontier_arr)
+        frontier_tbl = self._frontier_table()
         cpus = int(ray.cluster_resources().get("CPU", 4))
         n_blocks = max(
             1,
             min(
-                len(frontier_arr) // max(64, self.fetch_batch_size) + 1,
+                frontier_tbl.num_rows // max(64, self.fetch_batch_size) + 1,
                 3 * max(cpus, self.fetch_concurrency),  # 3× slots: straggler
                 # smoothing now that per-task fixed costs are small
             ),
         )
-        blocks = _split_frontier(frontier_arr, n_blocks)
+        blocks = _blocks_from_partitions(frontier_tbl, n_blocks)
 
-        admit = make_admit_stage(
-            self.cfg_ref, self.host_shards, self.seen_shards, k, t_k
-        )
-        fetch_post = make_fetch_post_stage(
+        stage = make_wave_stage(
             self.cfg_ref,
+            self.host_shards,
             self.seen_shards,
             ray.put(self._counts_arrays()),
             p.max_pages_per_host,
             k,
+            t_k,
             self.out_dir,
+            N_FRONTIER_PARTS,
             record=self.record_waves,
         )
         t_split = time.time()
         contrib_tbl = CONTRIB_SCHEMA.empty_table()
         if blocks:
-            out_ds = (
-                ray.data.from_arrow(blocks)
-                .map_batches(admit, batch_format="pyarrow", batch_size=None)
-                .map_batches(fetch_post, batch_format="pyarrow", batch_size=None)
+            out_ds = ray.data.from_arrow(blocks).map_batches(
+                stage, batch_format="pyarrow", batch_size=None
             )
             batches = list(
                 out_ds.iter_batches(batch_format="pyarrow", batch_size=None)
@@ -284,57 +296,66 @@ class CrawlEngine:
                 contrib_tbl.filter(pc.equal(kind_col, kind))["url"].combine_chunks()
             )
 
-        fetched_urls = _of("fetched")
-        survivors = _of("survivor")
-        stats["fetched"] = len(fetched_urls)
-        stats["enqueued"] = len(pc.unique(survivors))
-
+        stats["fetched"] = int(
+            pc.sum(pc.equal(kind_col, "fetched").cast(pa.int64())).as_py() or 0
+        )
+        # next frontier: raw ∪ survivors ∪ redirects, kept PARTITIONED
+        # and with duplicates — each next-wave block dedups itself
+        nxt_tbl = contrib_tbl.filter(
+            pc.is_in(
+                kind_col,
+                value_set=pa.array(["raw", "survivor", "redirect"], pa.string()),
+            )
+        ).select(["url", "part"])
         stats["t_driver_arrow"] = round(time.time() - t_drv, 3)
         t_bar = time.time()
-        # wave barrier: commit buffered state, refresh committed counts.
-        # Frontier assembly overlaps with the shard-side reconcile.
+        # wave barrier: commit buffered state, refresh committed counts
         record = self.record_waves
         recon_refs = [s.reconcile.remote(record) for s in self.seen_shards]
         end_refs = [s.end_wave.remote() for s in self.host_shards]
-        nxt_arr = _sorted_unique(
-            pa.concat_arrays([_of("raw"), survivors, _of("redirect")])
-        )
         recon = ray.get(recon_refs)
         ends = ray.get(end_refs)
         self.host_counts = {}
         stats["throttled"] = 0
+        stats["attempted"] = 0
         for counts, wstats in ends:
             self.host_counts.update(counts)
             stats["throttled"] += wstats["throttled"]
+            stats["attempted"] += wstats["attempted"]
         self.pages_total = sum(r["saved"] for r in recon)
         stats["visited_added"] = sum(r["new_visited"] for r in recon)
         stats["queue_size"] = sum(r["queue"] for r in recon)
+        stats["enqueued"] = sum(r["enqueued_distinct"] for r in recon)
         stats["t_barrier"] = round(time.time() - t_bar, 3)
         if record:
-            stats["attempted_urls"] = frontier_arr.to_pylist()
-            stats["fetched_urls"] = sorted(fetched_urls.to_pylist())
+            stats["attempted_urls"] = sorted(
+                _sorted_unique(_of("attempted")).to_pylist()
+            )
+            stats["fetched_urls"] = sorted(_of("fetched").to_pylist())
             stats["throttled_urls"] = sorted(_of("throttle").to_pylist())
-            stats["enqueued_urls"] = sorted(pc.unique(survivors).to_pylist())
-            stats["frontier_out"] = nxt_arr.to_pylist()
+            stats["enqueued_urls"] = sorted(
+                pc.unique(_of("survivor")).to_pylist()
+            )
+            stats["frontier_out"] = _sorted_unique(nxt_tbl["url"]).to_pylist()
             stats["visited_added_urls"] = sorted(
                 u for r in recon for u in r["new_visited_urls"]
             )
         stats["t_wall"] = round(time.time() - wall0, 3)
         self.waves.append(stats)
         self.wave_idx += 1
-        self.frontier = nxt_arr
+        self.frontier = nxt_tbl
         if self.checkpoint_dir:
             self._checkpoint(stats)
-        return nxt_arr
+        return nxt_tbl
 
     # -- queue refill / termination (Crawler.java:131-149) --------------------
 
-    def _refill(self) -> pa.Array:
+    def _refill(self) -> pa.Table:
         tables = ray.get([s.queue_contents.remote() for s in self.seen_shards])
         urls = pa.concat_arrays(
             [t["url"].combine_chunks() for t in tables if t.num_rows]
         ) if any(t.num_rows for t in tables) else pa.array([], pa.string())
-        return _sorted_unique(urls)
+        return self._partition_table(_sorted_unique(urls).to_pylist())
 
     def run(self, seeds: list[str] | None = None) -> dict:
         self.seed(seeds)
@@ -433,13 +454,8 @@ class CrawlEngine:
             pq.write_table(ct, os.path.join(tmp, f"counts-{i:03d}.parquet"))
         for i, st in enumerate(seen_tbls):
             pq.write_table(st, os.path.join(tmp, f"seen-{i:03d}.parquet"))
-        frontier = (
-            self.frontier
-            if isinstance(self.frontier, (pa.Array, pa.ChunkedArray))
-            else pa.array(list(self.frontier), pa.string())
-        )
         pq.write_table(
-            pa.table({"url": frontier}), os.path.join(tmp, "frontier.parquet")
+            self._frontier_table(), os.path.join(tmp, "frontier.parquet")
         )
         with open(os.path.join(tmp, "head.json"), "w") as f:
             json.dump(
@@ -486,9 +502,12 @@ class CrawlEngine:
         assert head["n_seen_shards"] == self.n_seen
         self.wave_idx = head["wave_idx"]
         self.pages_total = head["pages_total"]
-        self.frontier = pq.read_table(os.path.join(d, "frontier.parquet"))[
-            "url"
-        ].combine_chunks()
+        ft = pq.read_table(os.path.join(d, "frontier.parquet"))
+        self.frontier = (
+            ft.select(["url", "part"])
+            if "part" in ft.schema.names
+            else self._partition_table(ft["url"].to_pylist())
+        )
         calls = []
         for i, s in enumerate(self.host_shards):
             ht = pq.read_table(os.path.join(d, f"hosts-{i:03d}.parquet"))

@@ -1,16 +1,24 @@
 """Crawl-wave stage bodies (map_batches callables).
 
-One fused Dataset execution per wave (SURVEY.md §7.1, tuned — per-wave
-fixed costs gate BFS crawl throughput):
+One fused Dataset execution per wave, ONE merged stage per block
+(SURVEY.md §7.1, tuned twice — per-wave fixed costs gate BFS crawl
+throughput):
 
-    frontier blocks (split at host boundaries by the driver)
-      → admit_stage   : canonical keys + per-host-group admission via
-                        the HostShard politeness actors + completion
-                        routing to SeenShards (buffered)
-      → fetch_post    : synthetic fetch of admitted hits, page rows
-                        written to `wave=K/` parquet in-stage, link
-                        pipeline + enqueue probes (wave-start snapshot),
-                        frontier contributions (URL strings) out
+    frontier blocks (hash-partitioned by hostname — each block holds
+    complete hostname groups BY CONSTRUCTION, no driver sort/split)
+      → wave_stage : block-local distinct → canonical keys →
+                     per-host-group admission via the HostShard
+                     politeness actors → synthetic fetch of admitted
+                     hits (page rows written to `wave=K/` parquet
+                     in-stage) → link pipeline + enqueue probes →
+                     frontier contributions (URL strings + their
+                     next-wave partition id) out.
+
+    RPC overlap: completion/saved-key routing to the SeenShards is
+    fired asynchronously and only AWAITED at the end of the block,
+    after the fetch + link compute it overlaps with; the enqueue
+    probes (whose results gate the survivor output) are awaited after
+    the raw-href dedup work that doesn't depend on them.
 
 All state mutations buffer in the shards and commit at the driver's
 ``reconcile`` barrier — decisions and final state are independent of
@@ -27,7 +35,7 @@ import pyarrow.parquet as pq
 import ray
 
 from ..functions.blacklist import is_skippable_href, should_crawl, unwrap_urldefense
-from ..functions.html import build_spans, extract_urls
+from ..functions.html import build_span_columns
 from ..functions.urlnorm import (
     extract_host_key,
     extract_path,
@@ -85,7 +93,9 @@ DECISION_SCHEMA = pa.schema(
     ]
 )
 
-CONTRIB_SCHEMA = pa.schema([("url", pa.string()), ("kind", pa.string())])
+CONTRIB_SCHEMA = pa.schema(
+    [("url", pa.string()), ("kind", pa.string()), ("part", pa.int32())]
+)
 
 
 # Per-worker-process web cache: the config (with the text corpus) is
@@ -107,110 +117,16 @@ def web_for_ref(cfg_ref) -> SyntheticWeb:
 
 
 # ---------------------------------------------------------------------------
-# admission stage
+# hostname partitioning (the next-wave frontier handoff key)
 # ---------------------------------------------------------------------------
 
 
-def make_admit_stage(cfg_ref, host_shards: list, seen_shards: list,
-                     wave_idx: int, t_k: int):
-    """Prepare canonical keys + per-URL pure derivations (universe
-    hit/countable, path), group by host, run politeness admission in
-    the HostShards (batched RPC: one call per shard per block with
-    COMPLETE host groups), route completions to the SeenShards.
-
-    Everything derivable without host state is computed HERE, in the
-    parallel task — the shard actor walk touches only its state
-    (throttle clock, robots cache, caps), keeping the serial section
-    per wave minimal.
-    """
-
-    n_host = len(host_shards)
-    n_seen = len(seen_shards)
-
-    def admit(batch: pa.Table) -> pa.Table:
-        web = web_for_ref(cfg_ref)
-        urls = batch["url"].to_pylist()
-        if not urls:
-            return DECISION_SCHEMA.empty_table()
-        # C16 projections (Crawler.java:653-661,1026-1040) + both hash
-        # keys + universe facts (HEAD-connect / countable-fetch)
-        prepared = []
-        for u in urls:
-            h, k = ref_hash_and_key64(u)
-            meta = web.page_meta(u)
-            countable = False
-            if meta is not None and meta["status"] == 200 and meta["html"]:
-                lang = meta["content_language"]
-                if "text/html" in meta["content_type"]:
-                    countable = lang is None or lang.lower().startswith("en")
-            prepared.append(
-                (
-                    u,
-                    h,
-                    k,
-                    extract_host_key(u),
-                    hostname(u),
-                    extract_path(u),
-                    meta is not None,
-                    countable,
-                )
-            )
-        # group by host_key, route by hostname shard (cap state locality)
-        groups: dict[tuple[int, str], list] = {}
-        hn_shard_memo: dict[str, int] = {}
-        for row in prepared:
-            hn = row[4]
-            s = hn_shard_memo.get(hn)
-            if s is None:
-                s = hn_shard_memo[hn] = ref_hash_and_key64(hn)[1] % n_host
-            groups.setdefault((s, row[3]), []).append(row)
-        per_shard: dict[int, dict[str, list]] = {}
-        for (s, hk), rows in groups.items():
-            rows.sort(key=lambda r: r[1])  # url_hash order within group
-            per_shard.setdefault(s, {})[hk] = rows
-        calls = []
-        for s, hk_groups in sorted(per_shard.items()):
-            hks = sorted(hk_groups)
-            calls.append(
-                host_shards[s].admit_groups.remote(
-                    wave_idx,
-                    t_k,
-                    hks,
-                    [[r[:2] + r[4:] for r in hk_groups[hk]] for hk in hks],
-                )
-            )
-        decision_tables = ray.get(calls)
-        dec_tbl = pa.concat_tables(decision_tables)
-        # attach key64 (decision tables align per url_hash)
-        key_by_hash = {r[1]: r[2] for r in prepared}
-        keys = pa.array(
-            [key_by_hash[h] for h in dec_tbl["url_hash"].to_pylist()], pa.uint64()
-        )
-        dec_tbl = dec_tbl.append_column("key64", keys).select(
-            ["url", "url_hash", "key64", "decision"]
-        )
-        # route completions (all non-throttle attempts) to seen shards
-        comp = dec_tbl.filter(pc.not_equal(dec_tbl["decision"], "throttle"))
-        if comp.num_rows:
-            c_urls = comp["url"].to_pylist()
-            c_hashes = comp["url_hash"].to_pylist()
-            c_keys = comp["key64"].to_pylist()
-            by_shard: dict[int, list[int]] = {}
-            for i, k in enumerate(c_keys):
-                by_shard.setdefault(k % n_seen, []).append(i)
-            ray.get(
-                [
-                    seen_shards[s].buffer_complete.remote(
-                        [c_urls[i] for i in idxs],
-                        [c_hashes[i] for i in idxs],
-                        [c_keys[i] for i in idxs],
-                    )
-                    for s, idxs in by_shard.items()
-                ]
-            )
-        return dec_tbl
-
-    return admit
+def part_of_hostname(hn: str, n_parts: int) -> int:
+    """Frontier partition id.  Keyed on the hostname so every URL whose
+    politeness/cap state is shared (all host_keys of one hostname)
+    lands in the same partition — a block built from whole partitions
+    therefore holds COMPLETE host groups without any driver-side sort."""
+    return ref_hash_and_key64(hn)[1] % n_parts
 
 
 # ---------------------------------------------------------------------------
@@ -222,8 +138,26 @@ def fetch_batch(web: SyntheticWeb, urls: list[str], hashes: list[str]) -> pa.Tab
     """Synthetic fetch: one row per admitted URL — ``page`` (200
     text/html en → body+spans+raw links), ``redirect`` (HEAD 3xx →
     normalized+filtered target, Crawler.java:249-259), or ``dropped``
-    (language / non-HTML / non-200, C8–C11)."""
-    rows = {name: [] for name in FETCH_SCHEMA.names}
+    (language / non-HTML / non-200, C8–C11).
+
+    The span payload is assembled COLUMNAR (flat kind/text/ref/offset
+    buffers + per-row counts → one ListArray of StructArray) — the
+    previous one-dict-per-span form allocated ~8M Python dicts per
+    bench wave just to feed Arrow conversion."""
+    import numpy as np
+
+    rows = {
+        name: []
+        for name in FETCH_SCHEMA.names
+        if name not in ("spans", "raw_links")
+    }
+    sp_kinds: list[str] = []
+    sp_texts: list[str] = []
+    sp_refs: list[str] = []
+    sp_offs: list[int] = []
+    sp_counts: list[int] = []
+    raw_flat: list[str] = []
+    raw_counts: list[int] = []
     for url, url_hash in zip(urls, hashes):
         meta = web.page_meta(url)
         kind = "dropped"
@@ -232,8 +166,8 @@ def fetch_batch(web: SyntheticWeb, urls: list[str], hashes: list[str]) -> pa.Tab
         ctype = ""
         length = 0
         page = None
-        spans: list = []
-        raw_links: list = []
+        n_spans = 0
+        n_raw = 0
         if meta is not None:
             lang = meta["content_language"]
             media = meta["content_type"].split(";", 1)[0].strip()
@@ -251,8 +185,14 @@ def fetch_batch(web: SyntheticWeb, urls: list[str], hashes: list[str]) -> pa.Tab
                 ctype = media
                 length = len(body)
                 page = body
-                spans = build_spans(body_str)
-                raw_links = extract_urls(body_str)
+                k, t, r, o, raw_links = build_span_columns(body_str)
+                n_spans = len(k)
+                sp_kinds.extend(k)
+                sp_texts.extend(t)
+                sp_refs.extend(r)
+                sp_offs.extend(o)
+                n_raw = len(raw_links)
+                raw_flat.extend(raw_links)
         rows["url"].append(url)
         rows["url_hash"].append(url_hash)
         rows["kind"].append(kind)
@@ -261,9 +201,40 @@ def fetch_batch(web: SyntheticWeb, urls: list[str], hashes: list[str]) -> pa.Tab
         rows["content_type"].append(ctype)
         rows["length"].append(length)
         rows["page"].append(page)
-        rows["spans"].append(spans)
-        rows["raw_links"].append(raw_links)
-    return pa.Table.from_pydict(rows, schema=FETCH_SCHEMA)
+        sp_counts.append(n_spans)
+        raw_counts.append(n_raw)
+
+    spans_struct = pa.StructArray.from_arrays(
+        [
+            pa.array(sp_kinds, pa.string()),
+            pa.array(sp_texts, pa.string()),
+            pa.array(sp_refs, pa.string()),
+            pa.array(sp_offs, pa.int32()),
+        ],
+        names=["kind", "text", "media_ref", "offset"],
+    )
+    sp_offsets = pa.array(
+        np.concatenate([[0], np.cumsum(sp_counts)]).astype(np.int32)
+    )
+    raw_offsets = pa.array(
+        np.concatenate([[0], np.cumsum(raw_counts)]).astype(np.int32)
+    )
+    return pa.table(
+        {
+            "url": pa.array(rows["url"], pa.string()),
+            "url_hash": pa.array(rows["url_hash"], pa.string()),
+            "kind": pa.array(rows["kind"], pa.string()),
+            "redirect_target": pa.array(rows["redirect_target"], pa.string()),
+            "response_code": pa.array(rows["response_code"], pa.int32()),
+            "content_type": pa.array(rows["content_type"], pa.string()),
+            "length": pa.array(rows["length"], pa.int32()),
+            "page": pa.array(rows["page"], pa.binary()),
+            "spans": pa.ListArray.from_arrays(sp_offsets, spans_struct),
+            "raw_links": pa.ListArray.from_arrays(
+                raw_offsets, pa.array(raw_flat, pa.string())
+            ),
+        }
+    ).cast(FETCH_SCHEMA)
 
 
 def link_candidates(page_urls: list[str], raw_links: list[list[str]]):
@@ -299,17 +270,32 @@ def link_candidates(page_urls: list[str], raw_links: list[list[str]]):
     return out_url, out_hash, out_key, out_host
 
 
-def make_fetch_post_stage(
+def make_wave_stage(
     cfg_ref,
+    host_shards: list,
     seen_shards: list,
     counts_ref,
     max_pages_per_host: int,
     wave_idx: int,
+    t_k: int,
     out_dir: str | None,
+    n_parts: int,
     record: bool = False,
 ):
-    """Fetch admitted hits + run the link pipeline; emit frontier
-    contributions (URL strings only) plus decision passthroughs.
+    """The whole wave body for one frontier block: block-local distinct
+    → admission → fetch → page write → link pipeline → enqueue probes →
+    partitioned frontier contributions.
+
+    Blocks arrive hash-partitioned by hostname (complete host groups,
+    possibly with duplicates from multiple source pages/waves) — the
+    global frontier distinct is therefore the UNION of these per-block
+    ``pc.unique`` calls: dedup runs in the parallel tasks, never on the
+    driver.
+
+    RPC overlap: ``buffer_complete`` / ``buffer_saved`` are fired
+    without waiting and awaited only at the end of the block (they
+    overlap the fetch + link compute); ``probe_and_buffer_enqueue`` is
+    fired before the raw-href dedup work and awaited after it.
 
     ``counts_ref`` broadcasts the wave-start hostname page counts as a
     sorted (key64, count) numpy pair — zero-copy from the object store
@@ -319,6 +305,7 @@ def make_fetch_post_stage(
 
     import numpy as np
 
+    n_host = len(host_shards)
     n_seen = len(seen_shards)
 
     def _counts_of(hostnames: list[str], ck, cv) -> "np.ndarray":
@@ -334,35 +321,123 @@ def make_fetch_post_stage(
         pos = np.minimum(np.searchsorted(ck, hk), len(ck) - 1)
         return np.where(ck[pos] == hk, cv[pos], 0)
 
-    def fetch_post(batch: pa.Table) -> pa.Table:
+    def wave_stage(batch: pa.Table) -> pa.Table:
         web = web_for_ref(cfg_ref)
-        ck, cv = ray.get(counts_ref)
-        dec_col = batch["decision"]
-        hit_mask = pc.equal(dec_col, D_HIT)
-        hits = batch.filter(hit_mask)
-        others = batch.filter(pc.invert(hit_mask))
+        urls = pc.unique(batch["url"].combine_chunks()).to_pylist()
+        if not urls:
+            return CONTRIB_SCHEMA.empty_table()
+
+        # ---- admission (C16 projections + universe facts, then the
+        # serial per-host walk inside the HostShards) ------------------
+        prepared = []
+        for u in urls:
+            h, k = ref_hash_and_key64(u)
+            meta = web.page_meta(u)
+            countable = False
+            if meta is not None and meta["status"] == 200 and meta["html"]:
+                lang = meta["content_language"]
+                if "text/html" in meta["content_type"]:
+                    countable = lang is None or lang.lower().startswith("en")
+            prepared.append(
+                (
+                    u,
+                    h,
+                    k,
+                    extract_host_key(u),
+                    hostname(u),
+                    extract_path(u),
+                    meta is not None,
+                    countable,
+                )
+            )
+        groups: dict[tuple[int, str], list] = {}
+        hn_shard_memo: dict[str, int] = {}
+        for row in prepared:
+            hn = row[4]
+            s = hn_shard_memo.get(hn)
+            if s is None:
+                s = hn_shard_memo[hn] = ref_hash_and_key64(hn)[1] % n_host
+            groups.setdefault((s, row[3]), []).append(row)
+        per_shard: dict[int, dict[str, list]] = {}
+        for (s, hk), rows in groups.items():
+            rows.sort(key=lambda r: r[1])  # url_hash order within group
+            per_shard.setdefault(s, {})[hk] = rows
+        admit_calls = []
+        for s, hk_groups in sorted(per_shard.items()):
+            hks = sorted(hk_groups)
+            admit_calls.append(
+                host_shards[s].admit_groups.remote(
+                    wave_idx,
+                    t_k,
+                    hks,
+                    [[r[:2] + r[4:] for r in hk_groups[hk]] for hk in hks],
+                )
+            )
+        dec_tbl = pa.concat_tables(ray.get(admit_calls))
+        key_by_hash = {r[1]: r[2] for r in prepared}
+        dec_hashes = dec_tbl["url_hash"].to_pylist()
+        dec_keys = [key_by_hash[h] for h in dec_hashes]
+        dec_urls = dec_tbl["url"].to_pylist()
+        dec_decisions = dec_tbl["decision"].to_pylist()
+
+        # fire completion routing async; awaited at the end of the block
+        pending: list = []
+        by_shard: dict[int, list[int]] = {}
+        for i, (k, d) in enumerate(zip(dec_keys, dec_decisions)):
+            if d != "throttle":
+                by_shard.setdefault(k % n_seen, []).append(i)
+        for s, idxs in by_shard.items():
+            pending.append(
+                seen_shards[s].buffer_complete.remote(
+                    [dec_urls[i] for i in idxs],
+                    [dec_hashes[i] for i in idxs],
+                    [dec_keys[i] for i in idxs],
+                )
+            )
+
         contrib_urls: list[str] = []
         contrib_kinds: list[str] = []
-        if record:
-            # passthrough rows for non-hit decisions (record mode only —
-            # at bench scale these dominate the driver pull; throttle
-            # counts come from HostShard.end_wave stats instead)
-            contrib_urls.extend(others["url"].to_pylist())
-            contrib_kinds.extend(others["decision"].to_pylist())
+        contrib_parts: list[int] = []
+        part_memo: dict[str, int] = {}
 
-        if hits.num_rows:
-            ft = fetch_batch(
-                web, hits["url"].to_pylist(), hits["url_hash"].to_pylist()
-            )
+        def part_of(hn: str) -> int:
+            p = part_memo.get(hn)
+            if p is None:
+                p = part_memo[hn] = ref_hash_and_key64(hn)[1] % n_parts
+            return p
+
+        def emit(url: str, kind: str, hn: str | None = None) -> None:
+            contrib_urls.append(url)
+            contrib_kinds.append(kind)
+            contrib_parts.append(0 if hn is None else part_of(hn))
+
+        if record:
+            # passthrough rows (record mode only — tests): every
+            # attempted URL + its non-hit decision
+            for u in urls:
+                emit(u, "attempted")
+            for u, d in zip(dec_urls, dec_decisions):
+                if d != D_HIT:
+                    emit(u, d)
+
+        hit_urls = [u for u, d in zip(dec_urls, dec_decisions) if d == D_HIT]
+        hit_hashes = [
+            h for h, d in zip(dec_hashes, dec_decisions) if d == D_HIT
+        ]
+        if hit_urls:
+            ck, cv = ray.get(counts_ref)
+            # ---- fetch (heavy compute; overlaps the pending RPCs) ----
+            ft = fetch_batch(web, hit_urls, hit_hashes)
             pages = ft.filter(pc.equal(ft["kind"], "page"))
             for t in ft.filter(pc.equal(ft["kind"], "redirect"))[
                 "redirect_target"
             ].to_pylist():
-                contrib_urls.append(t)
-                contrib_kinds.append("redirect")
-            for u in ft.filter(pc.equal(ft["kind"], "dropped"))["url"].to_pylist():
-                contrib_urls.append(u)
-                contrib_kinds.append("dropped")
+                emit(t, "redirect", hostname(t))
+            if record:
+                for u in ft.filter(pc.equal(ft["kind"], "dropped"))[
+                    "url"
+                ].to_pylist():
+                    emit(u, "dropped")
             if pages.num_rows:
                 out = (
                     pages.drop_columns(["kind", "redirect_target", "raw_links"])
@@ -375,19 +450,19 @@ def make_fetch_post_stage(
                     os.makedirs(wave_dir, exist_ok=True)
                     fname = f"part-{pages['url_hash'][0].as_py()}.parquet"
                     pq.write_table(out, os.path.join(wave_dir, fname))
-                urls = pages["url"].to_pylist()
-                hashes = pages["url_hash"].to_pylist()
-                keys = [ref_hash_and_key64(u)[1] for u in urls]
-                by_shard: dict[int, list[str]] = {}
-                for h, k in zip(hashes, keys):
-                    by_shard.setdefault(k % n_seen, []).append(h)
-                saved_calls = [
+                p_urls = pages["url"].to_pylist()
+                p_hashes = pages["url_hash"].to_pylist()
+                p_keys = [key_by_hash[h] for h in p_hashes]
+                by_saved: dict[int, list[str]] = {}
+                for h, k in zip(p_hashes, p_keys):
+                    by_saved.setdefault(k % n_seen, []).append(h)
+                pending.extend(
                     seen_shards[s].buffer_saved.remote(hs)
-                    for s, hs in by_shard.items()
-                ]
+                    for s, hs in by_saved.items()
+                )
                 # link pipeline (C13–C18): checks see wave-start state
                 raw = pages["raw_links"].to_pylist()
-                c_urls, c_hashes, c_keys, c_hosts = link_candidates(urls, raw)
+                c_urls, c_hashes, c_keys, c_hosts = link_candidates(p_urls, raw)
                 c_counts = _counts_of(c_hosts, ck, cv)
                 keep = [
                     i
@@ -397,9 +472,9 @@ def make_fetch_post_stage(
                 by_shard2: dict[int, list[int]] = {}
                 for i in keep:
                     by_shard2.setdefault(c_keys[i] % n_seen, []).append(i)
-                calls, order = [], []
+                probe_calls, order = [], []
                 for s, idxs in by_shard2.items():
-                    calls.append(
+                    probe_calls.append(
                         seen_shards[s].probe_and_buffer_enqueue.remote(
                             [c_urls[i] for i in idxs],
                             [c_hashes[i] for i in idxs],
@@ -407,11 +482,10 @@ def make_fetch_post_stage(
                         )
                     )
                     order.extend(idxs)
-                flat = [b for r in ray.get(calls) for b in r]
-                ray.get(saved_calls)
-                for u in urls:
-                    contrib_urls.append(u)
-                    contrib_kinds.append("fetched")
+                # work that does NOT depend on the probe results — the
+                # fetched rows + raw-href dedup — overlaps the probes
+                for u in p_urls:
+                    emit(u, "fetched")
                 # raw hrefs repeat heavily across pages (popular link
                 # targets) — batch-local dedup before the driver pull;
                 # the frontier is globally distinct anyway
@@ -421,19 +495,21 @@ def make_fetch_post_stage(
                         if href in raw_seen:
                             continue
                         raw_seen.add(href)
-                        contrib_urls.append(href)
-                        contrib_kinds.append("raw")
+                        emit(href, "raw", hostname(href))
+                flat = [b for r in ray.get(probe_calls) for b in r]
                 surv_seen: set[str] = set()
                 for i, b in zip(order, flat):
                     if b and c_urls[i] not in surv_seen:
                         surv_seen.add(c_urls[i])
-                        contrib_urls.append(c_urls[i])
-                        contrib_kinds.append("survivor")
+                        emit(c_urls[i], "survivor", c_hosts[i])
+        if pending:
+            ray.get(pending)  # buffered-write acks (overlapped above)
         return pa.table(
             {
                 "url": pa.array(contrib_urls, pa.string()),
                 "kind": pa.array(contrib_kinds, pa.string()),
+                "part": pa.array(contrib_parts, pa.int32()),
             }
         )
 
-    return fetch_post
+    return wave_stage

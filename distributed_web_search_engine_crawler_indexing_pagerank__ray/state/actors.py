@@ -339,6 +339,7 @@ class SeenShard:
         """Apply the wave's buffered ops: enqueues → completion deletes
         → visited adds → saved keys.  Returns state sizes (+ the newly
         visited URLs when ``record``)."""
+        enqueued_distinct = len({h for h, _u in self._buf_enqueue})
         for h, u in self._buf_enqueue:
             self.queue[h] = u
         new_urls: list[str] = []
@@ -360,6 +361,9 @@ class SeenShard:
             "queue": len(self.queue),
             "saved": len(self.saved),
             "new_visited": len(new_urls),
+            # distinct survivor URLs this wave (hash-sharded, so the
+            # per-shard distinct counts sum to the global distinct)
+            "enqueued_distinct": enqueued_distinct,
         }
         if record:
             out["new_visited_urls"] = new_urls

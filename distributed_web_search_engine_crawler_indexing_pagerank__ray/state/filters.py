@@ -86,6 +86,8 @@ class CuckooFilter:
         self._kick_state = seed or 1
         self.n_items = 0
         self.n_failed = 0
+        self._np_slots: np.ndarray | None = None  # probe-path mirror
+        self._np_dirty = True
 
     def _fp(self, key: int) -> int:
         return (_mix_int(key, 0xBF58476D1CE4E5B9) & 0xFFFF) or 1
@@ -97,6 +99,7 @@ class CuckooFilter:
         return (i ^ _mix_int(fp, 0xBF58476D1CE4E5B9)) & (self.n_buckets - 1)
 
     def add(self, key: int) -> bool:
+        self._np_dirty = True
         slots = self.slots
         fp = self._fp(key)
         i1 = self._i1(key)
@@ -134,7 +137,34 @@ class CuckooFilter:
         b = 4 * self._alt(i1, fp)
         return fp in slots[b : b + 4]
 
+    def contains_many(self, keys: np.ndarray) -> np.ndarray:
+        """Vectorized batch probe: fingerprints / bucket indices via the
+        splitmix mixers on uint64 arrays, both candidate buckets checked
+        with numpy gathers against a cached uint16 mirror of the slot
+        list (rebuilt lazily after inserts — one O(slots) copy per
+        insert burst, ~10 ms at 2^16 buckets, vs ~2 µs PER KEY for the
+        scalar probe loop this replaced)."""
+        if len(keys) == 0:
+            return np.zeros(0, dtype=bool)
+        if self._np_dirty or self._np_slots is None:
+            self._np_slots = np.asarray(self.slots, dtype=np.uint16).reshape(-1, 4)
+            self._np_dirty = False
+        k = keys.astype(np.uint64)
+        fp = (_mix(k, 0xBF58476D1CE4E5B9) & np.uint64(0xFFFF)).astype(np.uint16)
+        fp = np.where(fp == 0, np.uint16(1), fp)
+        mask = np.uint64(self.n_buckets - 1)
+        i1 = (_mix(k, 0x94D049BB133111EB) & mask).astype(np.int64)
+        alt_h = _mix(fp.astype(np.uint64), 0xBF58476D1CE4E5B9)
+        i2 = ((i1.astype(np.uint64) ^ alt_h) & mask).astype(np.int64)
+        s = self._np_slots
+        hit = (s[i1] == fp[:, None]).any(axis=1)
+        miss = ~hit
+        if miss.any():
+            hit[miss] = (s[i2[miss]] == fp[miss, None]).any(axis=1)
+        return hit
+
     def delete(self, key: int) -> bool:
+        self._np_dirty = True
         slots = self.slots
         fp = self._fp(key)
         i1 = self._i1(key)
@@ -205,11 +235,9 @@ class ScalableSeenFilters:
         hits = np.nonzero(maybe)[0]
         self.bloom_maybe += len(hits)
         if len(hits):
-            contains = self.cuckoo.contains
-            for j in hits:
-                if not contains(int(keys[j])):
-                    maybe[j] = False
-            self.cuckoo_maybe += int(maybe[hits].sum())
+            ck = self.cuckoo.contains_many(np.asarray(keys, dtype=np.uint64)[hits])
+            maybe[hits] = ck
+            self.cuckoo_maybe += int(ck.sum())
         return maybe
 
     def stats(self) -> dict[str, int]:
