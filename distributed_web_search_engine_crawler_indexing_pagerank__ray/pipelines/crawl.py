@@ -118,7 +118,13 @@ def _blocks_from_partitions(tbl: pa.Table, n_blocks: int) -> list[pa.Table]:
             block_start = starts[i]
     if block_start < n:
         out.append(sorted_tbl.slice(block_start, n - block_start))
-    return [b for b in out if b.num_rows]
+    # largest blocks first: tasks dispatch in order, so the straggler
+    # tail of each wave shrinks to the smallest blocks
+    return sorted(
+        (b for b in out if b.num_rows),
+        key=lambda b: b.num_rows,
+        reverse=True,
+    )
 
 
 class CrawlEngine:
@@ -194,17 +200,49 @@ class CrawlEngine:
     def seed(self, seeds: list[str] | None = None) -> list[str]:
         web = SyntheticWeb(self.web_cfg)
         raw = seeds if seeds is not None else web.seed_urls(self.params.n_seeds)
-        normalized: list[str] = []
-        seen: set[str] = set()
-        for s in raw:
-            n = normalize_seed_url(s)
-            if n is not None and n not in seen:
-                seen.add(n)
-                normalized.append(n)
-        by_shard: dict[int, list[tuple[str, str, int]]] = {}
-        for u in normalized:
-            h, k = ref_hash_and_key64(u)
-            by_shard.setdefault(k % self.n_seen, []).append((u, h, k))
+        # normalization + hashing fanned out as plain ray tasks (~2 s of
+        # driver loop at the 100k-seed bench scale otherwise — a fixed
+        # cost the 4N level pays at the same absolute price as N);
+        # first-occurrence dedup order is preserved by merging chunk
+        # results in order.
+        chunk = 20_000
+        if len(raw) > chunk:
+            @ray.remote
+            def _norm(urls: list[str]) -> list[tuple[str, str, int]]:
+                out = []
+                for s in urls:
+                    n = normalize_seed_url(s)
+                    if n is not None:
+                        h, k = ref_hash_and_key64(n)
+                        out.append((n, h, k))
+                return out
+
+            parts = ray.get(
+                [_norm.remote(list(raw[i:i + chunk]))
+                 for i in range(0, len(raw), chunk)]
+            )
+            normalized = []
+            by_shard: dict[int, list[tuple[str, str, int]]] = {}
+            seen: set[str] = set()
+            for part in parts:
+                for u, h, k in part:
+                    if u in seen:
+                        continue
+                    seen.add(u)
+                    normalized.append(u)
+                    by_shard.setdefault(k % self.n_seen, []).append((u, h, k))
+        else:
+            normalized = []
+            seen = set()
+            for s in raw:
+                n = normalize_seed_url(s)
+                if n is not None and n not in seen:
+                    seen.add(n)
+                    normalized.append(n)
+            by_shard = {}
+            for u in normalized:
+                h, k = ref_hash_and_key64(u)
+                by_shard.setdefault(k % self.n_seen, []).append((u, h, k))
         ray.get(
             [
                 self.seen_shards[s].probe_and_buffer_enqueue.remote(
@@ -242,6 +280,18 @@ class CrawlEngine:
             return self._partition_table(f.to_pylist())
         return self._partition_table(f)
 
+    def _n_blocks(self, n_rows: int) -> int:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        return max(
+            1,
+            min(
+                n_rows // max(64, self.fetch_batch_size) + 1,
+                6 * max(cpus, self.fetch_concurrency),  # 6× slots: fine
+                # blocks + largest-first dispatch shrink the per-wave
+                # straggler tail (per-task fixed costs are small)
+            ),
+        )
+
     # -- one wave ------------------------------------------------------------
 
     def run_wave(self) -> pa.Table:
@@ -251,17 +301,15 @@ class CrawlEngine:
         stats = WaveStats(wave=k, t_ms=t_k)
         wall0 = time.time()
 
-        frontier_tbl = self._frontier_table()
-        cpus = int(ray.cluster_resources().get("CPU", 4))
-        n_blocks = max(
-            1,
-            min(
-                frontier_tbl.num_rows // max(64, self.fetch_batch_size) + 1,
-                3 * max(cpus, self.fetch_concurrency),  # 3× slots: straggler
-                # smoothing now that per-task fixed costs are small
-            ),
-        )
-        blocks = _blocks_from_partitions(frontier_tbl, n_blocks)
+        prepared = getattr(self, "_prepared", None)
+        if prepared is not None and prepared[0] is self.frontier:
+            blocks = prepared[1]  # built during the previous barrier
+        else:
+            frontier_tbl = self._frontier_table()
+            blocks = _blocks_from_partitions(
+                frontier_tbl, self._n_blocks(frontier_tbl.num_rows)
+            )
+        self._prepared = None
 
         stage = make_wave_stage(
             self.cfg_ref,
@@ -299,6 +347,8 @@ class CrawlEngine:
         stats["fetched"] = int(
             pc.sum(pc.equal(kind_col, "fetched").cast(pa.int64())).as_py() or 0
         )
+        if os.environ.get("CRAWL_STAGE_TIMING"):
+            stats["stage_timings"] = _of("timing").to_pylist()
         # next frontier: raw ∪ survivors ∪ redirects, kept PARTITIONED
         # and with duplicates — each next-wave block dedups itself
         nxt_tbl = contrib_tbl.filter(
@@ -313,6 +363,12 @@ class CrawlEngine:
         record = self.record_waves
         recon_refs = [s.reconcile.remote(record) for s in self.seen_shards]
         end_refs = [s.end_wave.remote() for s in self.host_shards]
+        # build the NEXT wave's blocks while the shards reconcile (the
+        # driver would otherwise idle inside these ray.get calls)
+        self._prepared = (
+            nxt_tbl,
+            _blocks_from_partitions(nxt_tbl, self._n_blocks(nxt_tbl.num_rows)),
+        )
         recon = ray.get(recon_refs)
         ends = ray.get(end_refs)
         self.host_counts = {}
@@ -326,6 +382,10 @@ class CrawlEngine:
         stats["visited_added"] = sum(r["new_visited"] for r in recon)
         stats["queue_size"] = sum(r["queue"] for r in recon)
         stats["enqueued"] = sum(r["enqueued_distinct"] for r in recon)
+        self._sizes = {
+            "visited": sum(r["visited"] for r in recon),
+            "queue": sum(r["queue"] for r in recon),
+        }
         stats["t_barrier"] = round(time.time() - t_bar, 3)
         if record:
             stats["attempted_urls"] = sorted(
@@ -367,7 +427,7 @@ class CrawlEngine:
                 if len(self.frontier) == 0:
                     break
             self.run_wave()
-        return self.summary()
+        return self.light_summary()
 
     # -- results -------------------------------------------------------------
 
@@ -410,6 +470,24 @@ class CrawlEngine:
 
         if self._owns_out_dir and os.path.isdir(self.out_dir):
             shutil.rmtree(self.out_dir, ignore_errors=True)
+
+    def light_summary(self) -> dict:
+        """Counts-only summary — the ``run()`` return value.  The heavy
+        :meth:`summary` pulls the ENTIRE seen set to the driver (~2.3 M
+        strings at bench scale, seconds of constant cost that the
+        4N-parallelism level pays at the same absolute price as N);
+        callers that need the actual sets (tests) ask explicitly."""
+        sizes = getattr(self, "_sizes", {"visited": 0, "queue": 0})
+        return {
+            "pages": self.pages_total,
+            "visited": sizes["visited"],
+            "queue": sizes["queue"],
+            "waves": len(self.waves),
+            "host_counts": dict(self.host_counts),
+            "filter_stats": ray.get(
+                [s.get_stats.remote() for s in self.seen_shards]
+            ),
+        }
 
     def summary(self) -> dict:
         seen = self.seen_set()
@@ -532,7 +610,7 @@ class CrawlEngine:
                 if len(self.frontier) == 0:
                     break
             self.run_wave()
-        return self.summary()
+        return self.light_summary()
 
 
 def run_crawl(

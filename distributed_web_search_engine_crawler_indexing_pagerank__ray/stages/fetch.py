@@ -321,8 +321,14 @@ def make_wave_stage(
         pos = np.minimum(np.searchsorted(ck, hk), len(ck) - 1)
         return np.where(ck[pos] == hk, cv[pos], 0)
 
+    timing = bool(os.environ.get("CRAWL_STAGE_TIMING"))
+
     def wave_stage(batch: pa.Table) -> pa.Table:
+        import time as _time
+
+        _t0 = _time.time()
         web = web_for_ref(cfg_ref)
+        _t_web = _time.time()
         urls = pc.unique(batch["url"].combine_chunks()).to_pylist()
         if not urls:
             return CONTRIB_SCHEMA.empty_table()
@@ -362,36 +368,52 @@ def make_wave_stage(
         for (s, hk), rows in groups.items():
             rows.sort(key=lambda r: r[1])  # url_hash order within group
             per_shard.setdefault(s, {})[hk] = rows
+        _t_prep = _time.time()
+        # arrow-payload admission RPC: flatten each shard's sorted
+        # groups into one columnar table (ships zero-copy; the previous
+        # tuple-list payload pickled per field and queued tasks on the
+        # shard actors while they held their slots)
         admit_calls = []
         for s, hk_groups in sorted(per_shard.items()):
-            hks = sorted(hk_groups)
+            flat = [r for hk in sorted(hk_groups) for r in hk_groups[hk]]
+            shard_tbl = pa.table(
+                {
+                    "url": pa.array([r[0] for r in flat], pa.string()),
+                    "url_hash": pa.array([r[1] for r in flat], pa.string()),
+                    "host_key": pa.array([r[3] for r in flat], pa.string()),
+                    "hostname": pa.array([r[4] for r in flat], pa.string()),
+                    "path": pa.array([r[5] for r in flat], pa.string()),
+                    "in_univ": pa.array([r[6] for r in flat], pa.bool_()),
+                    "countable": pa.array([r[7] for r in flat], pa.bool_()),
+                }
+            )
             admit_calls.append(
-                host_shards[s].admit_groups.remote(
-                    wave_idx,
-                    t_k,
-                    hks,
-                    [[r[:2] + r[4:] for r in hk_groups[hk]] for hk in hks],
-                )
+                host_shards[s].admit_table.remote(wave_idx, t_k, shard_tbl)
             )
         dec_tbl = pa.concat_tables(ray.get(admit_calls))
+        _t_admit = _time.time()
         key_by_hash = {r[1]: r[2] for r in prepared}
         dec_hashes = dec_tbl["url_hash"].to_pylist()
-        dec_keys = [key_by_hash[h] for h in dec_hashes]
+        dec_keys = np.array([key_by_hash[h] for h in dec_hashes], np.uint64)
         dec_urls = dec_tbl["url"].to_pylist()
         dec_decisions = dec_tbl["decision"].to_pylist()
 
         # fire completion routing async; awaited at the end of the block
         pending: list = []
-        by_shard: dict[int, list[int]] = {}
-        for i, (k, d) in enumerate(zip(dec_keys, dec_decisions)):
-            if d != "throttle":
-                by_shard.setdefault(k % n_seen, []).append(i)
-        for s, idxs in by_shard.items():
+        not_throttle = np.array(
+            [d != "throttle" for d in dec_decisions], dtype=bool
+        )
+        shard_of_key = (dec_keys % np.uint64(n_seen)).astype(np.int64)
+        u_arr = dec_tbl["url"].combine_chunks()
+        h_arr = dec_tbl["url_hash"].combine_chunks()
+        for s in range(n_seen):
+            m = not_throttle & (shard_of_key == s)
+            if not m.any():
+                continue
+            idx = pa.array(np.nonzero(m)[0])
             pending.append(
                 seen_shards[s].buffer_complete.remote(
-                    [dec_urls[i] for i in idxs],
-                    [dec_hashes[i] for i in idxs],
-                    [dec_keys[i] for i in idxs],
+                    u_arr.take(idx), h_arr.take(idx), dec_keys[m]
                 )
             )
 
@@ -424,10 +446,13 @@ def make_wave_stage(
         hit_hashes = [
             h for h, d in zip(dec_hashes, dec_decisions) if d == D_HIT
         ]
+        _t_fetch0 = _time.time()
+        _t_fetch = _t_links = _t_probe = _t_fetch0
         if hit_urls:
             ck, cv = ray.get(counts_ref)
             # ---- fetch (heavy compute; overlaps the pending RPCs) ----
             ft = fetch_batch(web, hit_urls, hit_hashes)
+            _t_fetch = _time.time()
             pages = ft.filter(pc.equal(ft["kind"], "page"))
             for t in ft.filter(pc.equal(ft["kind"], "redirect"))[
                 "redirect_target"
@@ -457,31 +482,35 @@ def make_wave_stage(
                 for h, k in zip(p_hashes, p_keys):
                     by_saved.setdefault(k % n_seen, []).append(h)
                 pending.extend(
-                    seen_shards[s].buffer_saved.remote(hs)
+                    seen_shards[s].buffer_saved.remote(pa.array(hs, pa.string()))
                     for s, hs in by_saved.items()
                 )
                 # link pipeline (C13–C18): checks see wave-start state
                 raw = pages["raw_links"].to_pylist()
                 c_urls, c_hashes, c_keys, c_hosts = link_candidates(p_urls, raw)
+                _t_links = _time.time()
                 c_counts = _counts_of(c_hosts, ck, cv)
-                keep = [
-                    i
-                    for i in range(len(c_urls))
-                    if c_hosts[i] != "" and c_counts[i] < max_pages_per_host
-                ]
-                by_shard2: dict[int, list[int]] = {}
-                for i in keep:
-                    by_shard2.setdefault(c_keys[i] % n_seen, []).append(i)
+                ck_arr = np.asarray(c_keys, dtype=np.uint64)
+                keep_mask = (
+                    np.array([h != "" for h in c_hosts], dtype=bool)
+                    & (c_counts < max_pages_per_host)
+                )
+                probe_shard = (ck_arr % np.uint64(n_seen)).astype(np.int64)
+                cu_arr = pa.array(c_urls, pa.string())
+                ch_arr = pa.array(c_hashes, pa.string())
                 probe_calls, order = [], []
-                for s, idxs in by_shard2.items():
+                for s in range(n_seen):
+                    m = keep_mask & (probe_shard == s)
+                    if not m.any():
+                        continue
+                    idxs = np.nonzero(m)[0]
+                    take = pa.array(idxs)
                     probe_calls.append(
-                        seen_shards[s].probe_and_buffer_enqueue.remote(
-                            [c_urls[i] for i in idxs],
-                            [c_hashes[i] for i in idxs],
-                            [c_keys[i] for i in idxs],
+                        seen_shards[s].probe_enqueue_arrays.remote(
+                            cu_arr.take(take), ch_arr.take(take), ck_arr[idxs]
                         )
                     )
-                    order.extend(idxs)
+                    order.append(idxs)
                 # work that does NOT depend on the probe results — the
                 # fetched rows + raw-href dedup — overlaps the probes
                 for u in p_urls:
@@ -496,14 +525,38 @@ def make_wave_stage(
                             continue
                         raw_seen.add(href)
                         emit(href, "raw", hostname(href))
-                flat = [b for r in ray.get(probe_calls) for b in r]
+                _t_preprobe = _time.time()
+                probe_results = ray.get(probe_calls)
+                _t_probe = _time.time()
+                _t_probe_extra = _t_probe - _t_preprobe
                 surv_seen: set[str] = set()
-                for i, b in zip(order, flat):
-                    if b and c_urls[i] not in surv_seen:
-                        surv_seen.add(c_urls[i])
-                        emit(c_urls[i], "survivor", c_hosts[i])
+                for idxs, oks in zip(order, probe_results):
+                    for i in idxs[oks]:
+                        if c_urls[i] not in surv_seen:
+                            surv_seen.add(c_urls[i])
+                            emit(c_urls[i], "survivor", c_hosts[i])
         if pending:
             ray.get(pending)  # buffered-write acks (overlapped above)
+        if timing:
+            import json as _json
+
+            _t_end = _time.time()
+            contrib_urls.append(_json.dumps({
+                "web": round(_t_web - _t0, 3),
+                "prep": round(_t_prep - _t_web, 3),
+                "admit_wait": round(_t_admit - _t_prep, 3),
+                "fetch": round(_t_fetch - _t_fetch0, 3),
+                "links": round(_t_links - _t_fetch, 3),
+                "probe_wait": round(locals().get("_t_probe_extra", 0.0), 3),
+                "ack_tail": round(_t_end - _t_probe, 3),
+                "t0": round(_t0, 3),
+                "t1": round(_t_end, 3),
+                "pid": os.getpid(),
+                "n_urls": len(urls),
+                "n_hits": len(hit_urls),
+            }))
+            contrib_kinds.append("timing")
+            contrib_parts.append(0)
         return pa.table(
             {
                 "url": pa.array(contrib_urls, pa.string()),

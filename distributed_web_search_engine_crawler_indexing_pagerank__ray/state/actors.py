@@ -201,6 +201,75 @@ class HostShard:
             }
         )
 
+    def admit_table(self, wave_idx: int, t_k: int, tbl: pa.Table) -> pa.Table:
+        """Arrow-payload admission (the RPC hot path): ``tbl`` holds the
+        block's rows for THIS shard, sorted by (host_key, url_hash)
+        with complete host_key groups — the same walk as
+        :meth:`admit_groups` over a columnar payload.  Ray ships Arrow
+        tables zero-copy, vs ~1 µs/field pickling for the tuple-list
+        form, which at bench scale made tasks queue on the shards while
+        holding their task slots."""
+        from ..functions.robots import robots_allows_parsed
+
+        reference_mode = self.fidelity == "reference"
+        counts = self.counts
+        cap = self.max_pages_per_host
+        urls = tbl["url"].to_pylist()
+        hashes = tbl["url_hash"].to_pylist()
+        hks = tbl["host_key"].to_pylist()
+        hns = tbl["hostname"].to_pylist()
+        paths = tbl["path"].to_pylist()
+        in_univs = tbl["in_univ"].to_pylist()
+        countables = tbl["countable"].to_pylist()
+        dec_out: list[str] = []
+        throttled = 0
+        cur_hk: str | None = None
+        in_group: dict[str, int] = {}
+        st = None
+        for i in range(len(urls)):
+            hk = hks[i]
+            if hk != cur_hk:
+                for hn_, c in in_group.items():
+                    self.wave_delta[hn_] = self.wave_delta.get(hn_, 0) + c
+                in_group = {}
+                st = None
+                cur_hk = hk
+            hn = hns[i]
+            if hn == "":
+                dec = D_NOHOST
+            elif counts.get(hn, 0) + in_group.get(hn, 0) >= cap:
+                dec = D_NOCAP
+            else:
+                if st is None:
+                    st = self._ensure_robots(hk)
+                if (t_k - st[0]) < st[6]:
+                    dec = D_THROTTLE
+                    throttled += 1
+                elif st[5] is not None and not robots_allows_parsed(
+                    st[5], paths[i], reference_mode
+                ):
+                    st[0] = t_k
+                    dec = D_ROBOTS
+                elif not in_univs[i]:
+                    dec = D_MISS
+                else:
+                    st[0] = t_k
+                    dec = D_HIT
+                    if countables[i]:
+                        in_group[hn] = in_group.get(hn, 0) + 1
+            dec_out.append(dec)
+        for hn_, c in in_group.items():
+            self.wave_delta[hn_] = self.wave_delta.get(hn_, 0) + c
+        self.wave_stats["throttled"] += throttled
+        self.wave_stats["attempted"] += len(urls)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "url_hash": pa.array(hashes, pa.string()),
+                "decision": pa.array(dec_out, pa.string()),
+            }
+        )
+
     def end_wave(self) -> tuple[dict, dict]:
         """Commit this wave's count deltas; return (counts, stats)."""
         for hn, c in self.wave_delta.items():
@@ -324,12 +393,44 @@ class SeenShard:
                 out.append(True)
         return out
 
-    def buffer_complete(self, urls: list[str], hashes: list[str],
-                        keys64: list[int]) -> int:
+    def probe_enqueue_arrays(self, urls: pa.Array, hashes: pa.Array,
+                             keys64: np.ndarray) -> np.ndarray:
+        """Arrow/numpy-payload form of :meth:`probe_and_buffer_enqueue`
+        (zero-copy ship; the python-list form pickled ~2 µs/row both
+        ways and queued the fetch tasks on this actor)."""
+        u = urls.to_pylist()
+        h = hashes.to_pylist()
+        keys = keys64.astype(np.uint64)
+        maybe = self.filters.contains_many(keys)
+        self.stats["probes"] += len(u)
+        out = np.zeros(len(u), dtype=bool)
+        visited = self.visited
+        buf = self._buf_enqueue
+        stats = self.stats
+        for i in range(len(u)):
+            if not maybe[i]:
+                stats["bloom_neg"] += 1
+                seen = False
+            else:
+                seen = h[i] in visited
+                if not seen:
+                    stats["filter_fp"] += 1
+            if not seen:
+                buf.append((h[i], u[i]))
+                out[i] = True
+        return out
+
+    def buffer_complete(self, urls, hashes, keys64) -> int:
+        if isinstance(urls, pa.Array):  # arrow payload (hot path)
+            urls = urls.to_pylist()
+            hashes = hashes.to_pylist()
+            keys64 = [int(k) for k in keys64]
         self._buf_complete.extend(zip(hashes, urls, keys64))
         return len(urls)
 
-    def buffer_saved(self, hashes: list[str]) -> int:
+    def buffer_saved(self, hashes) -> int:
+        if isinstance(hashes, pa.Array):
+            hashes = hashes.to_pylist()
         self._buf_saved.extend(hashes)
         return len(hashes)
 
