@@ -41,9 +41,12 @@ QUERY_NAMES = [
     "tfidf_docs",
     "dedup_exact",
     "dedup_minhash",
+    "dedup_clusters",
     "knn_bruteforce",
+    "knn_lsh",
     "window_tumbling",
     "sessionize",
+    "asof_join",
 ]
 
 
@@ -74,6 +77,11 @@ def run_bench() -> dict:
         WebConfig,
     )
 
+    # the sf0.1 corpus is ~1.5 MB — small enough that a per-worker
+    # tuple (referenced, not copied, per paragraph) beats the
+    # shared-memory TextCorpus form, which pays a slice+decode copy
+    # per paragraph; switch to TextCorpus.from_arrow(...) when the
+    # corpus is too big to replicate per worker (GB-scale).
     texts = tuple(
         pq.read_table(f"{SF_DIR}/documents.parquet", columns=["text"])["text"]
         .to_pylist()

@@ -198,6 +198,15 @@ class CrawlEngine:
     # -- seeding (C1/C2) -----------------------------------------------------
 
     def seed(self, seeds: list[str] | None = None) -> list[str]:
+        from ..stages.fetch import warm_worker
+
+        # fire-and-forget worker warmup (package import + web cache)
+        # overlapping the seed normalization below; wave 0's map_batches
+        # tasks then start on warm processes
+        self._warm_refs = [
+            warm_worker.remote(self.cfg_ref)
+            for _ in range(2 * max(2, self.fetch_concurrency))
+        ]
         web = SyntheticWeb(self.web_cfg)
         raw = seeds if seeds is not None else web.seed_urls(self.params.n_seeds)
         # normalization + hashing fanned out as plain ray tasks (~2 s of
@@ -371,11 +380,12 @@ class CrawlEngine:
         )
         recon = ray.get(recon_refs)
         ends = ray.get(end_refs)
-        self.host_counts = {}
         stats["throttled"] = 0
         stats["attempted"] = 0
-        for counts, wstats in ends:
-            self.host_counts.update(counts)
+        hc = self.host_counts  # shards return DELTAS (disjoint hostname
+        for delta, wstats in ends:  # shards, so plain add is exact)
+            for hn, c in delta.items():
+                hc[hn] = hc.get(hn, 0) + c
             stats["throttled"] += wstats["throttled"]
             stats["attempted"] += wstats["attempted"]
         self.pages_total = sum(r["saved"] for r in recon)

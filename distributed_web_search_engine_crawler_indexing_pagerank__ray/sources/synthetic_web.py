@@ -44,6 +44,19 @@ def splitmix64(x: int) -> int:
     return (x ^ (x >> 31)) & MASK64
 
 
+def splitmix64_array(x):
+    """Vectorized :func:`splitmix64` over a uint64 numpy array —
+    element-wise equal to the scalar form (uint64 wraps = ``& MASK64``).
+    The render hot path draws ~2 mixes per paragraph; scalar Python
+    calls were ~0.13 ms/page of the fetch stage at bench scale."""
+    import numpy as np
+
+    x = (x + np.uint64(0x9E3779B97F4A7C15))
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
 # Page-class residues (doc index mod the prime → class). Chosen so the
 # majority of pages are 200/text-html/en and every filter branch of
 # SURVEY.md §2.3 (C8–C12) has deterministic coverage.
@@ -96,25 +109,98 @@ class WebConfig:
         return splitmix64((i << 1) ^ (self.seed * 0x9E3779B97F4A7C15 & MASK64))
 
 
+class TextCorpus:
+    """Corpus bodies as (offsets, utf-8 bytes) numpy views over Arrow
+    buffers — the zero-copy broadcast form of ``WebConfig.texts``.
+
+    A plain ``tuple[str, ...]`` corpus is PICKLED into every Ray worker
+    process (at bench scale: ~66 MB × one copy per worker — at 32 cpus
+    that is >1 GB of duplicated, randomly-read strings thrashing the
+    shared LLC, measured as a 1.3–1.6× per-task slowdown of the fetch
+    stage at the 4N parallelism level).  Numpy arrays instead ship
+    out-of-band: ``ray.put`` stores ONE copy in the object store and
+    every worker maps it read-only (plasma shared memory), so all
+    fetch workers on a node share one physical corpus.
+
+    Indexing semantics are byte-identical to the tuple form for ASCII
+    corpora; ``from_arrow`` falls back to a tuple when non-ASCII text
+    is present (paragraph slicing is defined on character offsets).
+    """
+
+    def __init__(self, data, offsets):
+        self.data = data  # np.uint8 view of the concatenated bodies
+        self.offsets = offsets  # int32/int64 absolute offsets, len n+1
+
+    @staticmethod
+    def from_arrow(col) -> "TextCorpus | tuple[str, ...]":
+        import numpy as np
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+
+        arr = (
+            col.combine_chunks() if isinstance(col, _pa.ChunkedArray) else col
+        )
+        if arr.null_count:
+            arr = _pc.fill_null(arr, "")
+        if not _pc.all(_pc.string_is_ascii(arr)).as_py():
+            return tuple(arr.to_pylist())
+        off_dtype = (
+            np.int64 if _pa.types.is_large_string(arr.type) else np.int32
+        )
+        offsets = np.frombuffer(arr.buffers()[1], dtype=off_dtype)[
+            arr.offset : arr.offset + len(arr) + 1
+        ]
+        data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+        return TextCorpus(data, offsets)
+
+    def __len__(self) -> int:
+        return len(self.offsets) - 1
+
+    def length(self, i: int) -> int:
+        return int(self.offsets[i + 1] - self.offsets[i])
+
+    def slice_str(self, i: int, start: int, ln: int) -> str:
+        s = int(self.offsets[i]) + start
+        return bytes(self.data[s : s + ln]).decode("ascii")
+
+    def full(self, i: int) -> str:
+        return bytes(
+            self.data[int(self.offsets[i]) : int(self.offsets[i + 1])]
+        ).decode("ascii")
+
+
 class SyntheticWeb:
     """O(1) page oracle over a ``WebConfig``. Pure; safe to hold per actor."""
 
     def __init__(self, cfg: WebConfig):
+        import numpy as np
+
         self.cfg = cfg
         # Zipf(s) CDF over hosts → hot-host skew (FIXTURES.md §2).
-        w = [1.0 / (r + 1) ** cfg.zipf_s for r in range(cfg.n_hosts)]
-        tot = sum(w)
-        acc, cdf = 0.0, []
-        for x in w:
-            acc += x / tot
-            cdf.append(acc)
+        # numpy accumulation, then a Python list for fast scalar bisect
+        # (identical values: float64 arithmetic in the same order).
+        w = 1.0 / np.power(np.arange(1, cfg.n_hosts + 1, dtype=np.float64),
+                           cfg.zipf_s)
+        w /= w.sum()
+        cdf = np.add.accumulate(w)
         cdf[-1] = 1.0
-        self._cdf = cdf
+        self._cdf = cdf.tolist()
         self._host_names = [self._mk_host(j) for j in range(cfg.n_hosts)]
-        self._hostkey_ids = {
-            extract_host_key(full + "/"): j
-            for j, full in enumerate(self._host_names)
-        }
+        self._pg101 = None  # paragraph-mix cache (see _paragraph_mixes)
+        self._seed_term = None
+        self._hostkey_map: dict[str, int] | None = None  # built lazily:
+        # only the robots path (HostShard actors) resolves host_key →
+        # id; fetch workers never pay the n_hosts key derivations.
+
+    @property
+    def _hostkey_ids(self) -> dict[str, int]:
+        m = self._hostkey_map
+        if m is None:
+            m = self._hostkey_map = {
+                extract_host_key(full + "/"): j
+                for j, full in enumerate(self._host_names)
+            }
+        return m
 
     # -- universe geometry ---------------------------------------------------
 
@@ -287,6 +373,29 @@ class SyntheticWeb:
             return target + "#frag" + str(k)
         return target
 
+    def _paragraph_mixes(self, i: int):
+        """(text-index mixes, start-offset mixes) for all paragraphs of
+        doc ``i`` — two vectorized splitmix draws, element-wise equal
+        to ``cfg.mix(i*5+3+101*pg)`` / ``cfg.mix(i*11+9+101*pg)``."""
+        import numpy as np
+
+        pg101 = self._pg101
+        if pg101 is None or len(pg101) != self.cfg.paragraphs:
+            pg101 = self._pg101 = np.uint64(101) * np.arange(
+                self.cfg.paragraphs, dtype=np.uint64
+            )
+            self._seed_term = np.uint64(
+                (self.cfg.seed * 0x9E3779B97F4A7C15) & MASK64
+            )
+        st = self._seed_term
+        one = np.uint64(1)
+        j1 = np.uint64(i * 5 + 3) + pg101
+        j2 = np.uint64(i * 11 + 9) + pg101
+        return (
+            splitmix64_array((j1 << one) ^ st),
+            splitmix64_array((j2 << one) ^ st),
+        )
+
     def render_page(self, i: int) -> str:
         """Deterministic interleaved HTML for doc ``i`` (200 text/html)."""
         cfg = self.cfg
@@ -298,13 +407,28 @@ class SyntheticWeb:
             f'<meta name="description" content="Synthetic doc {i} of the test web">',
             "</head><body>",
         ]
+        texts = cfg.texts
+        n_texts = len(texts)
+        tc = texts if isinstance(texts, TextCorpus) else None
+        text_len = cfg.text_len
+        # both per-paragraph mixes drawn vectorized (== cfg.mix per
+        # element; the start mix is pure, so computing it for every
+        # paragraph — not just the long-text ones — changes nothing)
+        idxs, starts_raw = self._paragraph_mixes(i)
         for pg in range(cfg.paragraphs):
-            text = cfg.texts[self.cfg.mix(i * 5 + 3 + 101 * pg) % len(cfg.texts)]
-            if len(text) > cfg.text_len:
-                start = self.cfg.mix(i * 11 + 9 + 101 * pg) % max(
-                    1, len(text) - cfg.text_len
-                )
-                text = text[start : start + cfg.text_len]
+            idx = int(idxs[pg]) % n_texts
+            if tc is None:
+                text = texts[idx]
+                if len(text) > text_len:
+                    start = int(starts_raw[pg]) % max(1, len(text) - text_len)
+                    text = text[start : start + text_len]
+            else:  # shared-memory corpus: identical indexing on bytes
+                ln = tc.length(idx)
+                if ln > text_len:
+                    start = int(starts_raw[pg]) % max(1, ln - text_len)
+                    text = tc.slice_str(idx, start, text_len)
+                else:
+                    text = tc.full(idx)
             parts.append("<p>")
             parts.append(text)
             parts.append("</p>")

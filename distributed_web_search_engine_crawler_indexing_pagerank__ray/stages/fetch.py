@@ -37,8 +37,7 @@ import ray
 from ..functions.blacklist import is_skippable_href, should_crawl, unwrap_urldefense
 from ..functions.html import build_span_columns
 from ..functions.urlnorm import (
-    extract_host_key,
-    extract_path,
+    host_key_and_path,
     hostname,
     normalize_and_filter_url,
 )
@@ -54,21 +53,6 @@ SPAN_TYPE = pa.list_(
             ("offset", pa.int32()),
         ]
     )
-)
-
-FETCH_SCHEMA = pa.schema(
-    [
-        ("url", pa.string()),
-        ("url_hash", pa.string()),
-        ("kind", pa.string()),  # page | redirect | dropped
-        ("redirect_target", pa.string()),
-        ("response_code", pa.int32()),
-        ("content_type", pa.string()),
-        ("length", pa.int32()),
-        ("page", pa.binary()),
-        ("spans", SPAN_TYPE),
-        ("raw_links", pa.list_(pa.string())),
-    ]
 )
 
 PAGE_OUT_SCHEMA = pa.schema(
@@ -116,6 +100,16 @@ def web_for_ref(cfg_ref) -> SyntheticWeb:
     return web
 
 
+@ray.remote(num_cpus=1)
+def warm_worker(cfg_ref) -> int:
+    """Pre-import this package and build the per-process web cache in an
+    idle Ray worker — fired (and not awaited) during seeding so wave 0's
+    tasks land on warm processes instead of each paying import +
+    SyntheticWeb construction inside the first wave's critical path."""
+    web_for_ref(cfg_ref)
+    return os.getpid()
+
+
 # ---------------------------------------------------------------------------
 # hostname partitioning (the next-wave frontier handoff key)
 # ---------------------------------------------------------------------------
@@ -134,11 +128,20 @@ def part_of_hostname(hn: str, n_parts: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def fetch_batch(web: SyntheticWeb, urls: list[str], hashes: list[str]) -> pa.Table:
-    """Synthetic fetch: one row per admitted URL — ``page`` (200
-    text/html en → body+spans+raw links), ``redirect`` (HEAD 3xx →
+def fetch_batch(web: SyntheticWeb, urls: list[str], hashes: list[str]) -> dict:
+    """Synthetic fetch of the admitted URLs — per URL one of ``page``
+    (200 text/html en → body+spans+raw links), ``redirect`` (HEAD 3xx →
     normalized+filtered target, Crawler.java:249-259), or ``dropped``
     (language / non-HTML / non-200, C8–C11).
+
+    Returns a dict: ``pages`` (pa.Table of the PAGE rows only —
+    :data:`PAGE_OUT_SCHEMA` minus ``wave``) plus the Python-side
+    ``page_urls`` / ``page_hashes`` / ``raw_links`` / ``redirects`` /
+    ``dropped_urls`` lists the wave stage consumes directly.  An
+    earlier version shipped everything through one Arrow table with
+    kind/redirect/raw_links columns that the caller immediately
+    filtered and ``to_pylist()``-ed back — an Arrow⇄Python round trip
+    of ~800k strings per bench wave with no consumer in between.
 
     The span payload is assembled COLUMNAR (flat kind/text/ref/offset
     buffers + per-row counts → one ListArray of StructArray) — the
@@ -146,63 +149,48 @@ def fetch_batch(web: SyntheticWeb, urls: list[str], hashes: list[str]) -> pa.Tab
     bench wave just to feed Arrow conversion."""
     import numpy as np
 
-    rows = {
-        name: []
-        for name in FETCH_SCHEMA.names
-        if name not in ("spans", "raw_links")
-    }
+    p_urls: list[str] = []
+    p_hashes: list[str] = []
+    p_ctypes: list[str] = []
+    p_lengths: list[int] = []
+    p_pages: list[bytes] = []
+    raw_links: list[list[str]] = []
+    redirects: list[str] = []
+    dropped: list[str] = []
     sp_kinds: list[str] = []
     sp_texts: list[str] = []
     sp_refs: list[str] = []
     sp_offs: list[int] = []
     sp_counts: list[int] = []
-    raw_flat: list[str] = []
-    raw_counts: list[int] = []
     for url, url_hash in zip(urls, hashes):
         meta = web.page_meta(url)
-        kind = "dropped"
-        redirect_target = None
-        code = meta["status"] if meta else 0
-        ctype = ""
-        length = 0
-        page = None
-        n_spans = 0
-        n_raw = 0
         if meta is not None:
             lang = meta["content_language"]
             media = meta["content_type"].split(";", 1)[0].strip()
             if lang is not None and not lang.lower().startswith("en"):
-                kind = "dropped"
+                pass  # language filter → dropped
             elif meta["status"] in (301, 302, 303, 307, 308):
                 target = normalize_and_filter_url(url, meta["location"])
                 if target is not None and should_crawl(target):
-                    kind = "redirect"
-                    redirect_target = target
+                    redirects.append(target)
+                    continue
             elif meta["status"] == 200 and "text/html" in media.lower():
                 body = (web.page_body(url) or b"")[:100_000]
                 body_str = body.decode("utf-8", errors="replace")
-                kind = "page"
-                ctype = media
-                length = len(body)
-                page = body
-                k, t, r, o, raw_links = build_span_columns(body_str)
-                n_spans = len(k)
+                k, t, r, o, links = build_span_columns(body_str)
+                p_urls.append(url)
+                p_hashes.append(url_hash)
+                p_ctypes.append(media)
+                p_lengths.append(len(body))
+                p_pages.append(body)
+                sp_counts.append(len(k))
                 sp_kinds.extend(k)
                 sp_texts.extend(t)
                 sp_refs.extend(r)
                 sp_offs.extend(o)
-                n_raw = len(raw_links)
-                raw_flat.extend(raw_links)
-        rows["url"].append(url)
-        rows["url_hash"].append(url_hash)
-        rows["kind"].append(kind)
-        rows["redirect_target"].append(redirect_target)
-        rows["response_code"].append(code)
-        rows["content_type"].append(ctype)
-        rows["length"].append(length)
-        rows["page"].append(page)
-        sp_counts.append(n_spans)
-        raw_counts.append(n_raw)
+                raw_links.append(links)
+                continue
+        dropped.append(url)
 
     spans_struct = pa.StructArray.from_arrays(
         [
@@ -216,25 +204,27 @@ def fetch_batch(web: SyntheticWeb, urls: list[str], hashes: list[str]) -> pa.Tab
     sp_offsets = pa.array(
         np.concatenate([[0], np.cumsum(sp_counts)]).astype(np.int32)
     )
-    raw_offsets = pa.array(
-        np.concatenate([[0], np.cumsum(raw_counts)]).astype(np.int32)
-    )
-    return pa.table(
+    pages = pa.table(
         {
-            "url": pa.array(rows["url"], pa.string()),
-            "url_hash": pa.array(rows["url_hash"], pa.string()),
-            "kind": pa.array(rows["kind"], pa.string()),
-            "redirect_target": pa.array(rows["redirect_target"], pa.string()),
-            "response_code": pa.array(rows["response_code"], pa.int32()),
-            "content_type": pa.array(rows["content_type"], pa.string()),
-            "length": pa.array(rows["length"], pa.int32()),
-            "page": pa.array(rows["page"], pa.binary()),
-            "spans": pa.ListArray.from_arrays(sp_offsets, spans_struct),
-            "raw_links": pa.ListArray.from_arrays(
-                raw_offsets, pa.array(raw_flat, pa.string())
+            "url": pa.array(p_urls, pa.string()),
+            "url_hash": pa.array(p_hashes, pa.string()),
+            "response_code": pa.array(
+                np.full(len(p_urls), 200, dtype=np.int32)
             ),
+            "content_type": pa.array(p_ctypes, pa.string()),
+            "length": pa.array(p_lengths, pa.int32()),
+            "page": pa.array(p_pages, pa.binary()),
+            "spans": pa.ListArray.from_arrays(sp_offsets, spans_struct),
         }
-    ).cast(FETCH_SCHEMA)
+    )
+    return {
+        "pages": pages,
+        "page_urls": p_urls,
+        "page_hashes": p_hashes,
+        "raw_links": raw_links,
+        "redirects": redirects,
+        "dropped_urls": dropped,
+    }
 
 
 def link_candidates(page_urls: list[str], raw_links: list[list[str]]):
@@ -344,17 +334,9 @@ def make_wave_stage(
                 lang = meta["content_language"]
                 if "text/html" in meta["content_type"]:
                     countable = lang is None or lang.lower().startswith("en")
+            hk, path = host_key_and_path(u)
             prepared.append(
-                (
-                    u,
-                    h,
-                    k,
-                    extract_host_key(u),
-                    hostname(u),
-                    extract_path(u),
-                    meta is not None,
-                    countable,
-                )
+                (u, h, k, hk, hostname(u), path, meta is not None, countable)
             )
         groups: dict[tuple[int, str], list] = {}
         hn_shard_memo: dict[str, int] = {}
@@ -453,30 +435,23 @@ def make_wave_stage(
             # ---- fetch (heavy compute; overlaps the pending RPCs) ----
             ft = fetch_batch(web, hit_urls, hit_hashes)
             _t_fetch = _time.time()
-            pages = ft.filter(pc.equal(ft["kind"], "page"))
-            for t in ft.filter(pc.equal(ft["kind"], "redirect"))[
-                "redirect_target"
-            ].to_pylist():
+            pages = ft["pages"]
+            for t in ft["redirects"]:
                 emit(t, "redirect", hostname(t))
             if record:
-                for u in ft.filter(pc.equal(ft["kind"], "dropped"))[
-                    "url"
-                ].to_pylist():
+                for u in ft["dropped_urls"]:
                     emit(u, "dropped")
             if pages.num_rows:
-                out = (
-                    pages.drop_columns(["kind", "redirect_target", "raw_links"])
-                    .append_column(
-                        "wave", pa.array([wave_idx] * pages.num_rows, pa.int32())
-                    )
+                out = pages.append_column(
+                    "wave", pa.array([wave_idx] * pages.num_rows, pa.int32())
                 )
                 if out_dir:
                     wave_dir = os.path.join(out_dir, f"wave={wave_idx:05d}")
                     os.makedirs(wave_dir, exist_ok=True)
                     fname = f"part-{pages['url_hash'][0].as_py()}.parquet"
                     pq.write_table(out, os.path.join(wave_dir, fname))
-                p_urls = pages["url"].to_pylist()
-                p_hashes = pages["url_hash"].to_pylist()
+                p_urls = ft["page_urls"]
+                p_hashes = ft["page_hashes"]
                 p_keys = [key_by_hash[h] for h in p_hashes]
                 by_saved: dict[int, list[str]] = {}
                 for h, k in zip(p_hashes, p_keys):
@@ -486,7 +461,7 @@ def make_wave_stage(
                     for s, hs in by_saved.items()
                 )
                 # link pipeline (C13–C18): checks see wave-start state
-                raw = pages["raw_links"].to_pylist()
+                raw = ft["raw_links"]
                 c_urls, c_hashes, c_keys, c_hosts = link_candidates(p_urls, raw)
                 _t_links = _time.time()
                 c_counts = _counts_of(c_hosts, ck, cv)

@@ -69,9 +69,12 @@ def shard_of(s: str, n_shards: int) -> int:
 def ref_hash_and_key64(url: str) -> tuple[str, int]:
     """Both derived keys from ONE SHA-1 computation."""
     digest = hashlib.sha1(url.encode("utf-8")).digest()
-    from ..functions.hasher import _U2CHARS  # table lookup, no rehash
+    from ..functions.hasher import _U2PAIRS  # table lookup, no rehash
 
-    return "".join(_U2CHARS[b] for b in digest), int.from_bytes(digest[:8], "big")
+    return (
+        b"".join([_U2PAIRS[b] for b in digest]).decode("ascii"),
+        int.from_bytes(digest[:8], "big"),
+    )
 
 
 @ray.remote
@@ -271,13 +274,19 @@ class HostShard:
         )
 
     def end_wave(self) -> tuple[dict, dict]:
-        """Commit this wave's count deltas; return (counts, stats)."""
-        for hn, c in self.wave_delta.items():
+        """Commit this wave's count deltas; return (DELTA, stats).
+
+        Only the wave's increments travel to the driver — the full
+        committed map (~1 entry per hostname ever fetched) previously
+        re-shipped and re-merged every wave, a barrier cost that grows
+        with crawl age and is constant across parallelism levels."""
+        delta = self.wave_delta
+        for hn, c in delta.items():
             self.counts[hn] = self.counts.get(hn, 0) + c
         self.wave_delta = {}
         stats = dict(self.wave_stats)
         self.wave_stats = {"throttled": 0, "attempted": 0}
-        return dict(self.counts), stats
+        return delta, stats
 
     def get_counts(self) -> dict:
         return dict(self.counts)
