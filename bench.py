@@ -226,17 +226,36 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = 8, 32
-    # repeats: this sandbox is a cloud VM with noisy-neighbor CPU steal
-    # (identical runs vary ±20%, hitting the fully-loaded 4N level
-    # hardest); each level's best-of-N approximates the uncontended
-    # machine.  All raw runs are reported alongside the headline.
+    # Measurement design for a machine whose speed WANDERS on
+    # multi-minute timescales (burstable cloud CPU: an isolated run
+    # hits 5.1-5.6k pages/s at 32 cpus, back-to-back runs settle to
+    # ~4.6k, and depleted windows drop to ~3.5k — verified with
+    # identical binaries).  A sequential lo,lo,lo,hi,hi,hi sweep
+    # systematically biases whichever level runs later, so instead:
+    #   - levels run in adjacent PAIRS (machine state ~constant within
+    #     a pair), alternating pair order across repetitions,
+    #   - a fixed idle cooldown precedes every run (restores burst
+    #     state; 150 s idle measurably recovers throughput),
+    #   - efficiency = MEDIAN of the per-pair ratios; all raw runs are
+    #     reported alongside.
     n_rep = int(os.environ.get("BENCH_SCALING_REPEATS", "1"))
+    cooldown = float(os.environ.get("BENCH_SCALING_COOLDOWN", "90"))
     ceiling = hw_scaling_ceiling(lo, hi)
-    lo_runs = [run_at(lo) for _ in range(n_rep)]
-    hi_runs = [run_at(hi) for _ in range(n_rep)]
+    lo_runs, hi_runs, pair_effs = [], [], []
+    for rep in range(n_rep):
+        order = (lo, hi) if rep % 2 == 0 else (hi, lo)
+        pair: dict[int, dict] = {}
+        for level in order:
+            time.sleep(cooldown)
+            pair[level] = run_at(level)
+        lo_runs.append(pair[lo])
+        hi_runs.append(pair[hi])
+        pair_effs.append(
+            (pair[hi]["pages_per_sec"] / pair[lo]["pages_per_sec"]) / (hi / lo)
+        )
+    mid = sorted(pair_effs)[len(pair_effs) // 2]
     r_lo = max(lo_runs, key=lambda r: r["pages_per_sec"])
     r_hi = max(hi_runs, key=lambda r: r["pages_per_sec"])
-    eff = (r_hi["pages_per_sec"] / r_lo["pages_per_sec"]) / (hi / lo)
     return {
         "metric": "crawl_scaling",
         "unit": "pages_per_sec",
@@ -247,14 +266,15 @@ def run_scaling() -> dict:
         f"all_pps_{lo}": [r["pages_per_sec"] for r in lo_runs],
         f"all_pps_{hi}": [r["pages_per_sec"] for r in hi_runs],
         "pages": r_hi["pages"],
-        "scaling_efficiency": round(eff, 3),
+        "pair_efficiencies": [round(e, 3) for e in pair_effs],
+        "scaling_efficiency": round(mid, 3),
         # the platform's own lo→hi ceiling for PERFECTLY parallel
         # pure-CPU work on this box (per-core slowdown under full
         # load), and the crawl's efficiency normalized by it — the
         # number comparable to a real N→4N-node criterion where both
         # cluster sizes run identical per-node hardware
         **ceiling,
-        "efficiency_vs_hw_ceiling": round(eff / ceiling["hw_ceiling"], 3),
+        "efficiency_vs_hw_ceiling": round(mid / ceiling["hw_ceiling"], 3),
     }
 
 
