@@ -97,3 +97,111 @@ def test_span_offsets_monotonic(html):
 def test_robots_eval_never_throws(robots, path, status):
     robots_allows(status, robots, path)
     extract_crawl_delay(robots)
+
+
+# ---------------------------------------------------------------------------
+# Round-2 hot-path kernels: the optimized forms must be byte-equal to the
+# straightforward reference implementations they replaced.
+# ---------------------------------------------------------------------------
+
+
+def _hostname_slow(url):
+    """Pre-fast-path hostname(): branch-by-branch java.net.URI emulation."""
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.functions import (
+        urlnorm as un,
+    )
+
+    if url is None or not url.strip():
+        return ""
+    u = url.strip()
+    try:
+        host = un._uri_get_host(u)
+        if host is None:
+            prefixed = ("http:" if u.startswith("//") else "http://") + u
+            host = un._uri_get_host(prefixed)
+        return host.lower() if host is not None else ""
+    except ValueError:
+        return ""
+
+
+@settings(max_examples=400, deadline=None)
+@given(urlish)
+def test_hostname_fast_path_matches_slow_path(u):
+    assert hostname(u) == _hostname_slow(u)
+
+
+@settings(max_examples=300, deadline=None)
+@given(urlish)
+def test_host_key_and_path_matches_separate_helpers(u):
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.functions.urlnorm import (
+        extract_path,
+        host_key_and_path,
+    )
+
+    assert host_key_and_path(u) == (extract_host_key(u), extract_path(u))
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=100))
+def test_ref_hash_byte_pair_table_matches_str_table(s):
+    import hashlib
+
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.functions.hasher import (
+        _U2CHARS,
+    )
+
+    digest = hashlib.sha1(s.encode("utf-8")).digest()
+    assert ref_hash(s) == "".join(_U2CHARS[b] for b in digest)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=(1 << 64) - 1),
+                min_size=1, max_size=50))
+def test_splitmix64_array_matches_scalar(xs):
+    import numpy as np
+
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.sources.synthetic_web import (
+        splitmix64,
+        splitmix64_array,
+    )
+
+    got = splitmix64_array(np.array(xs, dtype=np.uint64))
+    assert [int(g) for g in got] == [splitmix64(x) for x in xs]
+
+
+def test_text_corpus_renders_identical_to_tuple():
+    import pyarrow as pa
+
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.sources.synthetic_web import (
+        SyntheticWeb,
+        TextCorpus,
+        WebConfig,
+    )
+
+    texts = ("alpha beta gamma " * 60, "short", "delta epsilon " * 40, "x" * 401)
+    tc = TextCorpus.from_arrow(pa.array(list(texts)))
+    assert isinstance(tc, TextCorpus)
+    assert len(tc) == len(texts)
+    web_t = SyntheticWeb(WebConfig(n_docs=4000, n_hosts=40, texts=texts,
+                                   paragraphs=5, links_per_doc=6))
+    web_c = SyntheticWeb(WebConfig(n_docs=4000, n_hosts=40, texts=tc,
+                                   paragraphs=5, links_per_doc=6))
+    checked = 0
+    for i in range(0, 4000, 13):
+        u = web_t.url_of(i)
+        m = web_t.page_meta(u)
+        if m and m["status"] == 200 and m["html"]:
+            assert web_t.render_page(i) == web_c.render_page(i)
+            checked += 1
+    assert checked > 100
+
+
+def test_text_corpus_non_ascii_falls_back_to_tuple():
+    import pyarrow as pa
+
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.sources.synthetic_web import (
+        TextCorpus,
+    )
+
+    fb = TextCorpus.from_arrow(pa.array(["héllo wörld", "ok"]))
+    assert isinstance(fb, tuple) and fb[0] == "héllo wörld"
