@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "knn_bruteforce": similarity.q_knn_bruteforce,
         "knn_lsh": similarity.q_knn_lsh,
+        "knn_ivf": similarity.q_knn_ivf,
         # stream-shaped
         "approx_distinct_users": events.q_approx_distinct_users,
         "window_tumbling": events.q_window_tumbling,

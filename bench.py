@@ -44,6 +44,7 @@ QUERY_NAMES = [
     "dedup_clusters",
     "knn_bruteforce",
     "knn_lsh",
+    "knn_ivf",
     "window_tumbling",
     "sessionize",
     "asof_join",

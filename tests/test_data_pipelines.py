@@ -269,3 +269,54 @@ def test_approx_distinct_users_close_to_exact(con):
     for ty in exact.index:
         e, a = exact.loc[ty, "n"], approx.loc[ty, "approx_users"]
         assert abs(a - e) / max(1, e) < 0.05, (ty, e, a)
+
+
+def test_knn_ivf_recall_on_planted_clusters(tmp_path):
+    """IVF's contract: on data with angular structure, the nprobe
+    nearest cells hold the true neighbors.  Same planted-neighbor
+    fixture as the LSH test: mean recall ≥ 0.9 while scanning a strict
+    subset of cells."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines import similarity
+
+    rng = np.random.default_rng(7)
+    dim, n_bg = 64, 3000
+    qs = rng.standard_normal((similarity.N_QUERIES, dim))
+    rows = [qs]
+    for q in qs:
+        rows.append(q[None, :] + 0.35 * rng.standard_normal((12, dim)))
+    rows.append(rng.standard_normal((n_bg, dim)))
+    m = np.vstack(rows)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(m)), pa.int64()),
+            "embedding": pa.array(list(m), pa.list_(pa.float64())),
+            "label": pa.array(np.zeros(len(m), dtype=np.int64)),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    sf = str(tmp_path)
+
+    exact = _to_df(similarity.q_knn_bruteforce(sf))
+    approx = _to_df(similarity.q_knn_ivf(sf))
+    recalls = []
+    for qid, g in exact.groupby("query_id"):
+        truth = set(g["vec_id"])
+        got = set(approx[approx.query_id == qid]["vec_id"])
+        recalls.append(len(truth & got) / len(truth))
+    assert np.mean(recalls) >= 0.9, recalls
+
+
+def test_knn_ivf_fixture_sanity():
+    """Shape + score consistency on the near-random sf fixture."""
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines import similarity
+
+    exact = _to_df(similarity.q_knn_bruteforce(SF))
+    approx = _to_df(similarity.q_knn_ivf(SF))
+    assert set(approx.columns) == {"query_id", "vec_id", "cos"}
+    assert (approx.groupby("query_id").size() <= similarity.TOP_K).all()
+    merged = approx.merge(exact, on=["query_id", "vec_id"], suffixes=("_a", "_e"))
+    if len(merged):
+        assert np.allclose(merged["cos_a"], merged["cos_e"])
