@@ -140,6 +140,58 @@ class MediaFeatureExtractor:
         )
 
 
+class ImageResizer:
+    """Actor-pool stage: decode + resize image rows to a fixed target.
+
+    The resize kernel is block-mean downsampling over the (fake-)
+    decoded pixel array — a real implementation swaps in
+    ``PIL.Image.resize`` on the same interface.  Output keeps the
+    opaque-binary convention: resized pixels re-encoded as raw bytes
+    plus (height, width) metadata columns, so downstream stages can
+    treat resized rows exactly like fetched ones."""
+
+    def __init__(self, target: tuple[int, int] = (8, 8)):
+        self.target = target  # set once per actor (the 'model load')
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        th, tw = self.target
+        payloads, hs, ws, fails = [], [], [], []
+        for payload in batch["payload"].to_pylist():
+            try:
+                img = decode_image(payload)
+                h, w = img.shape
+                # block-mean resize (h, w) → (th, tw); exact for the
+                # integer-divisible stub geometry, area-interp otherwise
+                ys = (np.arange(th + 1) * h) // th
+                xs = (np.arange(tw + 1) * w) // tw
+                out = np.empty((th, tw), dtype=np.uint8)
+                for i in range(th):
+                    for j in range(tw):
+                        out[i, j] = int(
+                            img[ys[i]:max(ys[i] + 1, ys[i + 1]),
+                                xs[j]:max(xs[j] + 1, xs[j + 1])].mean()
+                        )
+                payloads.append(out.tobytes())
+                hs.append(th)
+                ws.append(tw)
+                fails.append(False)
+            except ValueError:
+                payloads.append(b"")
+                hs.append(0)
+                ws.append(0)
+                fails.append(True)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "media_ref": batch["media_ref"],
+                "payload": pa.array(payloads, pa.binary()),
+                "height": pa.array(hs, pa.int32()),
+                "width": pa.array(ws, pa.int32()),
+                "decode_failed": pa.array(fails, pa.bool_()),
+            }
+        )
+
+
 class FrameSampler:
     """Actor-pool stage for video rows: deterministic frame sampling
     (STUB decode — emits frame indices + per-frame fake features)."""

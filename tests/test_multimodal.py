@@ -72,6 +72,46 @@ def test_feature_extractor_batch():
     assert out["features"].to_pylist() == out2["features"].to_pylist()
 
 
+def test_image_resizer_batch():
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines.multimodal import (
+        ImageResizer,
+    )
+
+    t = media_rows_from_spans(_pages_batch())
+    out = ImageResizer(target=(8, 8))(t)
+    assert out.num_rows == t.num_rows
+    assert not any(out["decode_failed"].to_pylist())
+    assert out["height"].to_pylist() == [8] * t.num_rows
+    assert out["width"].to_pylist() == [8] * t.num_rows
+    for pay in out["payload"].to_pylist():
+        assert len(pay) == 64  # 8x8 uint8
+    # deterministic + 2x2 block means of the 16x16 stub decode
+    img = decode_image(t["payload"][0].as_py())
+    resized = np.frombuffer(out["payload"][0].as_py(), dtype=np.uint8).reshape(8, 8)
+    expect = img.reshape(8, 2, 8, 2).mean(axis=(1, 3)).astype(np.uint8)
+    assert np.array_equal(resized, expect)
+
+
+def test_image_resizer_empty_payload_marks_failed():
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines.multimodal import (
+        ImageResizer,
+    )
+    import pyarrow as pa
+
+    t = pa.table(
+        {
+            "doc_id": ["d"],
+            "media_ref": ["/static/x.png"],
+            "media_type": ["image"],
+            "payload": pa.array([b""], pa.binary()),
+            "payload_len": pa.array([0], pa.int32()),
+        }
+    )
+    out = ImageResizer()(t)
+    assert out["decode_failed"].to_pylist() == [True]
+    assert out["height"].to_pylist() == [0]
+
+
 def test_frame_sampler():
     t = media_rows_from_spans(_pages_batch())
     vids = t.filter(pa.compute.equal(t["media_type"], "video"))
