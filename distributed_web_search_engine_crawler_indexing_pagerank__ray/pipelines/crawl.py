@@ -470,10 +470,14 @@ class CrawlEngine:
                 for f in sorted(os.listdir(full)):
                     parts.append(pq.read_table(os.path.join(full, f)))
         tbl = pa.concat_tables(parts, promote_options="default")
-        last: dict[str, int] = {}
-        for i, key in enumerate(tbl["url_hash"].to_pylist()):
-            last[key] = i
-        return tbl.take(sorted(last.values()))
+        # last write per url_hash (KVS putRow overwrite semantics):
+        # wave dirs concatenate in ascending order, so keep each key's
+        # LAST occurrence — one vectorized duplicated() pass
+        import numpy as np
+        import pandas as pd
+
+        keep = ~pd.Series(tbl["url_hash"].to_pandas()).duplicated(keep="last")
+        return tbl.take(pa.array(np.nonzero(keep.to_numpy())[0]))
 
     def cleanup(self) -> None:
         """Remove the engine-owned temp page store (page payloads at

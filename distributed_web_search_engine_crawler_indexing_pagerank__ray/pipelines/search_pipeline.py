@@ -20,18 +20,33 @@ def load_texts(sf_dir: str, limit: int = 2000) -> tuple[str, ...]:
     return tuple(t["text"].to_pylist()[:limit])
 
 
+_CORPUS_MEMO: dict[tuple, "object"] = {}
+
+
 def crawl_corpus(sf_dir: str, n_docs: int = 600, n_hosts: int = 16,
                  target: int = 200, waves: int = 8):
     """Deterministic crawl over the sf-derived synthetic web; returns
-    (pages_table, engine)."""
+    (pages_table, engine).
+
+    The pages table is MEMOIZED per (sf_dir, geometry) within the
+    process: the crawl is pure in these arguments, and the six
+    search-side driver queries each start from the same corpus — the
+    correctness run previously re-crawled identically 6×.  A cache hit
+    returns ``engine=None`` (every in-repo caller discards it; the
+    engine's actors would otherwise be kept alive by the cache)."""
     from .crawl import CrawlEngine
 
+    key = (sf_dir, n_docs, n_hosts, target, waves)
+    cached = _CORPUS_MEMO.get(key)
+    if cached is not None:
+        return cached, None
     cfg = WebConfig(n_docs=n_docs, n_hosts=n_hosts, texts=load_texts(sf_dir))
     params = CrawlParams(target_pages=target, max_waves=waves, n_seeds=8)
     eng = CrawlEngine(cfg, params, n_host_shards=4, n_seen_shards=4)
     eng.run()
     pages = eng.pages_table()  # small corpus: safe in memory
     eng.cleanup()
+    _CORPUS_MEMO[key] = pages
     return pages, eng
 
 
