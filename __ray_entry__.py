@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": dedup.q_dedup_clusters,
         "dedup_minhash": dedup.q_dedup_minhash,
         "dedup_simhash": dedup.q_dedup_simhash,
+        "dedup_ngram": dedup.q_dedup_ngram,
         "dedup_embedding": dedup.q_dedup_embedding,
         # similarity search
         "knn_bruteforce": similarity.q_knn_bruteforce,
@@ -114,6 +115,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_docs": textpipe.SQL_TFIDF_DOCS,
         "quality": textpipe.SQL_QUALITY,
         "dedup_exact": dedup.SQL_DEDUP_EXACT,
+        "dedup_ngram": dedup.SQL_DEDUP_NGRAM,
         "dedup_embedding": dedup.SQL_DEDUP_EMBEDDING,
         "knn_bruteforce": similarity.sql_knn_bruteforce(),
         "window_tumbling": events.SQL_WINDOW_TUMBLING,

@@ -41,6 +41,7 @@ QUERY_NAMES = [
     "tfidf_docs",
     "dedup_exact",
     "dedup_minhash",
+    "dedup_ngram",
     "dedup_clusters",
     "knn_bruteforce",
     "knn_lsh",

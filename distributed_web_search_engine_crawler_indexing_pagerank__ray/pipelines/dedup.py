@@ -99,14 +99,9 @@ def q_dedup_minhash(sf_dir: str):
     1. per-batch shingle→signature (stateless; permutation params are
        module constants), explode to (band_id, band_hash, doc_id) rows;
     2. ``groupby(band)`` buckets candidates → (doc_a, doc_b) pairs;
-    3. ``groupby(pair)`` dedupes pairs found by multiple bands;
-    4. verification texts move by SEMI-JOIN, never broadcast: the
-       distinct candidate doc ids (small by LSH design — this is the
-       one driver-held object, ids only, no text) filter the documents
-       table, and one bucketed equi-join attaches each candidate's
-       text to its pair rows;
-    5. ``groupby(pair-bucket)`` reassembles (text_a, text_b) per pair
-       and applies the exact-Jaccard filter.
+    3. dedupe + exact-Jaccard verification via the shared
+       ``_verify_candidate_pairs`` (semi-join texts to pairs — no
+       corpus broadcast).
 
     Returns (doc_a, doc_b, jac) with doc_a < doc_b, rounded to 6
     digits."""
@@ -133,35 +128,85 @@ def q_dedup_minhash(sf_dir: str):
 
     bands = _docs(sf_dir).map_batches(sigs, batch_format="pyarrow")
 
-    # NOTE all group fns on this path take/return ARROW: Ray Data skips
-    # the transform on 0-row blocks, so a pandas-format group fn leaks
-    # empty pandas blocks downstream and mixes block types at the next
-    # sort/union (BlockType assertion failure).
-    def candidates(g: pa.Table) -> pa.Table:
-        docs = sorted(pc.unique(g["doc_id"]).to_pylist())
-        pairs = [(a, b) for i, a in enumerate(docs) for b in docs[i + 1 :]]
+    cand = bands.groupby(["band_id", "band_hash"]).map_groups(
+        _candidate_pairs, batch_format="pyarrow"
+    )
+    return _verify_candidate_pairs(sf_dir, cand, SHINGLE_K, JACCARD_THRESHOLD)
+
+
+# NOTE all group fns on this path take/return ARROW: Ray Data skips
+# the transform on 0-row blocks, so a pandas-format group fn leaks
+# empty pandas blocks downstream and mixes block types at the next
+# sort/union (BlockType assertion failure).
+def _candidate_pairs(g: pa.Table) -> pa.Table:
+    """All (doc_a < doc_b) pairs among the distinct doc_ids of one
+    candidate bucket (an LSH band group or a prefix-shingle group)."""
+    docs = sorted(pc.unique(g["doc_id"]).to_pylist())
+    pairs = [(a, b) for i, a in enumerate(docs) for b in docs[i + 1 :]]
+    return pa.table(
+        {
+            "doc_a": pa.array([p[0] for p in pairs], pa.int64()),
+            "doc_b": pa.array([p[1] for p in pairs], pa.int64()),
+        }
+    )
+
+
+def _verify_candidate_pairs(sf_dir: str, cand, shingle_k: int, threshold: float):
+    """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs —
+    fully distributed (no driver-side corpus broadcast); shared by the
+    MinHash+LSH and n-gram prefix-filter dedup paths.
+
+    1. ``groupby(pair)`` dedupes pairs proposed by multiple buckets;
+    2. verification texts move by SEMI-JOIN, never broadcast: the
+       distinct candidate doc ids (small by candidate-gen design — this
+       is the one driver-held object, ids only, no text) filter the
+       documents table, and one bucketed equi-join attaches each
+       candidate's text to its pair rows;
+    3. ``groupby(pair-bucket)`` reassembles (text_a, text_b) per pair
+       and applies the exact shingle-Jaccard filter.
+
+    Returns (doc_a, doc_b, jac) with doc_a < doc_b, rounded to 6
+    digits."""
+    NB = DEDUP_JOIN_BUCKETS
+
+    # 1. cross-bucket dedupe, distributed; materialized ONCE (pairs
+    # only, no text) because it feeds both the id set and the join
+    # below.  Block-local pre-dedup (the combiner) shrinks the shuffle;
+    # the groupby is on a PAIR-HASH BUCKET, not the pair itself, so the
+    # reduce is ~NB vectorized drop_duplicates calls instead of one
+    # Python call per candidate pair.
+    def pre_dedupe(t: pa.Table) -> pa.Table:
+        g = t.to_pandas().drop_duplicates(["doc_a", "doc_b"])
+        da = g["doc_a"].to_numpy(dtype=np.int64)
+        db = g["doc_b"].to_numpy(dtype=np.int64)
         return pa.table(
             {
-                "doc_a": pa.array([p[0] for p in pairs], pa.int64()),
-                "doc_b": pa.array([p[1] for p in pairs], pa.int64()),
+                "doc_a": pa.array(da),
+                "doc_b": pa.array(db),
+                "pb": pa.array(((da * 31 + db) % NB).astype(np.int32)),
             }
         )
 
-    cand = bands.groupby(["band_id", "band_hash"]).map_groups(
-        candidates, batch_format="pyarrow"
-    )
-    # 3. cross-band dedupe, distributed; materialized ONCE (pairs only,
-    # no text) because it feeds both the id set and the join below
-    uniq = _compact(
-        cand.groupby(["doc_a", "doc_b"])
-        .map_groups(
-            lambda g: g.select(["doc_a", "doc_b"]).slice(0, 1),
-            batch_format="pyarrow",
+    def dedupe(g: pa.Table) -> pa.Table:
+        # plain pa.table, not from_pandas: pandas metadata on the schema
+        # breaks Ray's schema hashing (spams "Failed to hash the
+        # schemas" on every reduce)
+        df = g.to_pandas().drop_duplicates(["doc_a", "doc_b"])
+        return pa.table(
+            {
+                "doc_a": pa.array(df["doc_a"].to_numpy(dtype=np.int64)),
+                "doc_b": pa.array(df["doc_b"].to_numpy(dtype=np.int64)),
+            }
         )
+
+    uniq = _compact(
+        cand.map_batches(pre_dedupe, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(dedupe, batch_format="pyarrow")
         .materialize()
     )
 
-    # 4a. the small side of the semi-join: distinct candidate ids
+    # 2a. the small side of the semi-join: distinct candidate ids
     def pair_ids(t: pa.Table) -> pa.Table:
         both = pa.concat_arrays(
             [t["doc_a"].combine_chunks(), t["doc_b"].combine_chunks()]
@@ -170,8 +215,6 @@ def q_dedup_minhash(sf_dir: str):
 
     ids = sorted(uniq.map_batches(pair_ids, batch_format="pyarrow").unique("doc_id"))
     ids_ref = ray.put(pa.array(ids, pa.int64()))
-
-    NB = DEDUP_JOIN_BUCKETS
 
     def tag_pairs(t: pa.Table) -> pa.Table:
         # each pair → two join rows, keyed by the doc whose text it needs
@@ -245,11 +288,17 @@ def q_dedup_minhash(sf_dir: str):
         )
         m = a.merge(b, on=["doc_a", "doc_b"], how="inner")
         da, db, js = [], [], []
+        cache: dict = {}  # docs recur across pairs; shingle once per doc
+
+        def sh_of(doc, text):
+            s = cache.get(doc)
+            if s is None:
+                s = cache[doc] = shingles(text or "", shingle_k)
+            return s
+
         for ida, idb, ta, tb in zip(m["doc_a"], m["doc_b"], m["text_a"], m["text_b"]):
-            j = jaccard(
-                shingles(ta or "", SHINGLE_K), shingles(tb or "", SHINGLE_K)
-            )
-            if j >= JACCARD_THRESHOLD:
+            j = jaccard(sh_of(ida, ta), sh_of(idb, tb))
+            if j >= threshold:
                 da.append(int(ida))
                 db.append(int(idb))
                 js.append(round(j, 6))
@@ -262,6 +311,105 @@ def q_dedup_minhash(sf_dir: str):
         )
 
     return halves.groupby("pb").map_groups(verify_pairs, batch_format="pyarrow")
+
+
+# -- n-gram Jaccard dedup (exact, prefix-filtered) ---------------------------
+
+NGRAM_K = 3
+NGRAM_THRESHOLD = 0.5
+
+
+def q_dedup_ngram(sf_dir: str):
+    """Exact n-gram (word 3-gram) Jaccard dedup: EVERY pair with
+    shingle-Jaccard ≥ NGRAM_THRESHOLD — not approximate like
+    MinHash/SimHash — made scalable by AllPairs/SSJoin prefix
+    filtering (Bayardo et al., WWW'07; Chaudhuri et al., ICDE'06):
+
+    1. explode each doc to (doc_id, sh) rows, one per DISTINCT shingle
+       (sh = stable 64-bit hash of the shingle string);
+    2. ``groupby(sh)`` stamps each row with the shingle's global
+       document frequency (df) — candidate generation only ever needs
+       df + hash, so texts never move here;
+    3. ``groupby(doc_id)`` sorts each doc's shingles by the global
+       total order (df asc, sh asc) and keeps the PREFIX of length
+       n - floor(t*n) + 1: a pair with Jaccard ≥ t has overlap
+       ≥ ⌈t·max(|A|,|B|)⌉, and two sets with overlap ≥ α must share
+       an element within their first |S| - α + 1 elements under any
+       common total order — so recall is EXACT, while df-ascending
+       pushes hot shingles into suffixes, keeping candidate buckets
+       small;
+    4. ``groupby(sh)`` over prefix rows → candidate pairs;
+    5. dedupe + exact string-level verification via
+       ``_verify_candidate_pairs``.
+
+    The shuffles move (int64, int64) rows proportional to total
+    distinct-shingle occurrences — the canonical AllPairs cost; no
+    stage holds the corpus or the candidate set on the driver.
+
+    Returns (doc_a, doc_b, jac), doc_a < doc_b, rounded to 6 digits.
+    Oracle: SQL_DEDUP_NGRAM (all-pairs list-intersection in DuckDB)."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        doc_ids, shs = [], []
+        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            for s in shingles(text or "", NGRAM_K):
+                doc_ids.append(doc_id)
+                shs.append(
+                    int.from_bytes(
+                        hashlib.md5(s.encode("utf-8")).digest()[:8], "big"
+                    )
+                    >> 1  # keep int64-positive for arrow
+                )
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "sh": pa.array(shs, pa.int64()),
+            }
+        )
+
+    rows = _docs(sf_dir).map_batches(explode, batch_format="pyarrow")
+
+    def stamp_df(g: pa.Table) -> pa.Table:
+        return g.append_column(
+            "df", pa.array([g.num_rows] * g.num_rows, pa.int64())
+        )
+
+    with_df = rows.groupby("sh").map_groups(stamp_df, batch_format="pyarrow")
+
+    def prefix(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[("df", "ascending"), ("sh", "ascending")]
+        )
+        p = g.num_rows - int(NGRAM_THRESHOLD * g.num_rows) + 1
+        return g.take(idx[:p]).select(["doc_id", "sh"])
+
+    pref = with_df.groupby("doc_id").map_groups(prefix, batch_format="pyarrow")
+    cand = pref.groupby("sh").map_groups(_candidate_pairs, batch_format="pyarrow")
+    return _verify_candidate_pairs(sf_dir, cand, NGRAM_K, NGRAM_THRESHOLD)
+
+
+SQL_DEDUP_NGRAM = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tk
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) = 0 THEN []
+              WHEN len(tk) < {NGRAM_K} THEN [array_to_string(tk, ' ')]
+              ELSE list_distinct([array_to_string(tk[i:i+{NGRAM_K - 1}], ' ')
+                                 FOR i IN range(1, len(tk) - {NGRAM_K - 2})])
+         END AS s
+  FROM toks
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.s, b.s))::DOUBLE /
+             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jac
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+      >= {NGRAM_THRESHOLD}
+"""
 
 
 # -- SimHash -----------------------------------------------------------------

@@ -79,6 +79,42 @@ def test_dedup_minhash_finds_real_near_dups():
         assert abs(j - r.jac) < 1e-6  # stored value is round(j, 6)
 
 
+def test_dedup_ngram_sql_parity(con):
+    """Prefix-filtered n-gram Jaccard is EXACT: it must equal the
+    DuckDB all-pairs threshold join, pair for pair."""
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines import dedup
+
+    _assert_matches_sql(dedup.q_dedup_ngram(SF), con, dedup.SQL_DEDUP_NGRAM)
+
+
+def test_dedup_ngram_prefix_recall_property():
+    """The recall guarantee of the prefix filter, checked directly:
+    brute-force all-pairs Jaccard over the fixture == pipeline output."""
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines import dedup
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.functions.textstats import (
+        jaccard,
+        shingles,
+    )
+    import pyarrow.parquet as pq
+
+    docs = (
+        pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        .to_pandas()
+    )
+    sh = {r.doc_id: shingles(r.text or "", dedup.NGRAM_K) for r in docs.itertuples()}
+    ids = sorted(sh)
+    expect = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if (sh[a] or sh[b]) and jaccard(sh[a], sh[b]) >= dedup.NGRAM_THRESHOLD
+    }
+    out = _to_df(dedup.q_dedup_ngram(SF))
+    got = set(zip(out["doc_a"], out["doc_b"]))
+    assert got == expect
+    assert len(expect) > 0, "fixture should contain near-duplicate docs"
+
+
 def test_dedup_simhash_pairs_are_close():
     from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines import dedup
     from distributed_web_search_engine_crawler_indexing_pagerank__ray.functions.textstats import (
