@@ -212,9 +212,21 @@ def q_window_sliding(sf_dir: str):
     ds = _events(sf_dir, ["ts", "event_type"]).map_batches(
         expand, batch_format="pyarrow"
     )
-    return ds.groupby(["event_type", "window_start"]).aggregate(
+    out = ds.groupby(["event_type", "window_start"]).aggregate(
         Count(alias_name="n")
     )
+
+    def recast(t: pa.Table) -> pa.Table:
+        # the grouped aggregate can downcast the key to timestamp[s];
+        # re-cast so the output schema matches the SQL oracle's µs
+        # (same fix as q_window_tumbling)
+        return t.set_column(
+            t.schema.get_field_index("window_start"),
+            "window_start",
+            pc.cast(t["window_start"], pa.timestamp("us")),
+        )
+
+    return out.map_batches(recast, batch_format="pyarrow")
 
 
 SQL_WINDOW_SLIDING = f"""
