@@ -116,6 +116,7 @@ def oracle_sql() -> dict[str, str]:
         "quality": textpipe.SQL_QUALITY,
         "dedup_exact": dedup.SQL_DEDUP_EXACT,
         "dedup_ngram": dedup.SQL_DEDUP_NGRAM,
+        "dedup_clusters": dedup.SQL_DEDUP_CLUSTERS,
         "dedup_embedding": dedup.SQL_DEDUP_EMBEDDING,
         "knn_bruteforce": similarity.sql_knn_bruteforce(),
         "window_tumbling": events.SQL_WINDOW_TUMBLING,

@@ -514,7 +514,11 @@ def _exact_dup_edges(sf_dir: str):
 
 def q_dedup_clusters(sf_dir: str):
     """Cluster documents into duplicate groups: nodes = doc_ids, edges =
-    exact-dup pairs (same content hash) ∪ MinHash near-dup pairs;
+    exact-dup pairs (same content hash) ∪ EXACT n-gram Jaccard
+    near-dup pairs (``q_dedup_ngram`` — exact rather than the
+    approximate MinHash pairs, which makes the whole component
+    computation SQL-recomputable: oracle SQL_DEDUP_CLUSTERS closes the
+    same edge set transitively with a recursive CTE);
     components via iterative min-label propagation (ray_guide's dedup
     follow-up: 'a few rounds of min-label propagation with groupby') —
     every step distributed: edges live as a Dataset, each round is one
@@ -532,7 +536,7 @@ def q_dedup_clusters(sf_dir: str):
     the component."""
     from ray.data.aggregate import Min, Sum
 
-    near = q_dedup_minhash(sf_dir)
+    near = q_dedup_ngram(sf_dir)
 
     def near_edges(t: pa.Table) -> pa.Table:
         return pa.table({"doc_a": t["doc_a"], "doc_b": t["doc_b"]})
@@ -681,6 +685,34 @@ def q_dedup_clusters(sf_dir: str):
         .map_groups(assign, batch_format="pyarrow")
         .sort("node")
     )
+
+
+# Connected components as SQL: the same edge set (exact-dup ∪ n-gram
+# near-dup), closed transitively with a recursive CTE; cluster = min
+# reachable doc_id.  Exactly recomputable because BOTH edge sources are
+# (unlike MinHash's banding) deterministic functions of the text.
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({SQL_DEDUP_NGRAM})
+  UNION
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM documents a JOIN documents b
+    ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
+), edge AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+), reach(a, b) AS (
+  SELECT a, b FROM edge
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edge e ON r.b = e.a
+)
+SELECT d.doc_id AS node,
+       least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster
+FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+GROUP BY d.doc_id
+ORDER BY node
+"""
 
 
 COSINE_THRESHOLD = 0.35  # fixture embeddings have no true near-dups;

@@ -238,7 +238,7 @@ def test_dedup_clusters_match_union_find():
 
     out = _to_df(dedup.q_dedup_clusters(SF)).set_index("node")["cluster"]
 
-    near = dedup.q_dedup_minhash(SF)
+    near = dedup.q_dedup_ngram(SF)
     if not isinstance(near, pa.Table):
         parts = list(near.iter_batches(batch_format="pyarrow", batch_size=None))
         near = pa.concat_tables(parts)
