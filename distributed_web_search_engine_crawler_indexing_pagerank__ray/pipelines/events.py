@@ -253,10 +253,17 @@ def q_asof_join(sf_dir: str):
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
     )
 
+    NB = 32  # key-hash buckets: the groupby lands BOTH sides of a key
+    # in one group, and each group holds ~1/NB of all keys, so the
+    # reduce is NB vectorized merge_asof(by=key) calls — not one tiny
+    # Python call per key
+
     def tag_events(t: pa.Table) -> pa.Table:
+        k = pc.cast(t["user_id"], pa.int64())
         return pa.table(
             {
-                "key": pc.cast(t["user_id"], pa.int64()),
+                "bucket": pc.cast(pc.bit_wise_and(k, pa.scalar(NB - 1)), pa.int32()),
+                "key": k,
                 "side": pa.array(["e"] * t.num_rows, pa.string()),
                 "event_id": t["event_id"],
                 "ts": t["ts"],
@@ -264,9 +271,11 @@ def q_asof_join(sf_dir: str):
         )
 
     def tag_orders(t: pa.Table) -> pa.Table:
+        k = pc.cast(t["o_custkey"], pa.int64())
         return pa.table(
             {
-                "key": pc.cast(t["o_custkey"], pa.int64()),
+                "bucket": pc.cast(pc.bit_wise_and(k, pa.scalar(NB - 1)), pa.int32()),
+                "key": k,
                 "side": pa.array(["o"] * t.num_rows, pa.string()),
                 "event_id": pa.nulls(t.num_rows, pa.int64()),
                 "ts": t["o_orderdate"],
@@ -278,14 +287,12 @@ def q_asof_join(sf_dir: str):
     )
 
     def asof(g: pd.DataFrame) -> pd.DataFrame:
-        ev = g[g["side"] == "e"][["event_id", "ts"]].sort_values(
-            ["ts", "event_id"]
-        )
+        ev = g[g["side"] == "e"][["key", "event_id", "ts"]].sort_values("ts")
         # the tagged union holds null event_id on order rows, so pandas
         # promotes the column to float64 for the whole group; restore the
         # contract dtype after dropping the order side
         ev = ev.assign(event_id=ev["event_id"].astype("int64"))
-        od = g[g["side"] == "o"][["ts"]].sort_values("ts")
+        od = g[g["side"] == "o"][["key", "ts"]].sort_values("ts")
         if len(ev) == 0:
             return pd.DataFrame(
                 {"event_id": pd.Series(dtype="int64"),
@@ -293,11 +300,12 @@ def q_asof_join(sf_dir: str):
             )
         m = pd.merge_asof(
             ev, od.rename(columns={"ts": "last_order_date"}),
-            left_on="ts", right_on="last_order_date", direction="backward",
+            left_on="ts", right_on="last_order_date", by="key",
+            direction="backward",
         )
         return m[["event_id", "last_order_date"]]
 
-    return tagged.groupby("key").map_groups(asof, batch_format="pandas")
+    return tagged.groupby("bucket").map_groups(asof, batch_format="pandas")
 
 
 SQL_ASOF_JOIN = """
