@@ -135,24 +135,31 @@ def hash_shingle(s: str) -> int:
 
 
 def simhash(text: str, bits: int = 64) -> int:
-    """64-bit SimHash over whitespace tokens (blake2b token hashes)."""
+    """64-bit SimHash over whitespace tokens.  Token hash = first 8
+    bytes of md5, big-endian — chosen (over blake2b) because DuckDB can
+    recompute it (``('0x' || substr(md5(t), 1, 16))::UBIGINT``), which
+    makes the SimHash dedup query exactly SQL-oracle-checkable.
+    Bit i is set iff sum over tokens of ±1 (per bit i of the token
+    hash) is > 0 (ties → 0); duplicate tokens count every occurrence."""
     import hashlib
 
     toks = [t.lower() for t in whitespace_tokens(text)]
     if not toks:
         return 0
-    acc = np.zeros(bits, dtype=np.int64)
-    for t in toks:
-        hv = int.from_bytes(
-            hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(), "big"
+    hv = np.array(
+        [
+            int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "big")
+            for t in toks
+        ],
+        dtype=np.uint64,
+    )
+    bitmat = (hv[:, None] >> np.arange(bits, dtype=np.uint64)[None, :]) & 1
+    acc = (2 * bitmat.astype(np.int64) - 1).sum(axis=0)
+    return int(
+        np.bitwise_or.reduce(
+            (np.uint64(1) << np.arange(bits, dtype=np.uint64))[acc > 0], initial=np.uint64(0)
         )
-        for i in range(bits):
-            acc[i] += 1 if (hv >> i) & 1 else -1
-    out = 0
-    for i in range(bits):
-        if acc[i] > 0:
-            out |= 1 << i
-    return out
+    )
 
 
 def hamming64(a: int, b: int) -> int:

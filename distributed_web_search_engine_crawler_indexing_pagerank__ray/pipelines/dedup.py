@@ -420,7 +420,12 @@ SIMHASH_MAX_HAMMING = 3
 def q_dedup_simhash(sf_dir: str):
     """SimHash near-dup: 64-bit signatures; candidate pairs bucketed by
     each of 4 16-bit bands (any band equal → candidate, standard
-    Charikar/Manku trick), verified by Hamming distance ≤ 3."""
+    Charikar/Manku trick), verified by Hamming distance ≤ 3.
+
+    EXACT, and SQL-oracle-checked: hamming ≤ 3 over 4 bands forces at
+    least one band equal (pigeonhole), so banding has perfect recall,
+    and the md5-based token hash lets DuckDB recompute the signatures
+    bit for bit (SQL_DEDUP_SIMHASH)."""
 
     def sig(t: pa.Table) -> pa.Table:
         out_doc, out_band, out_key, out_sig = [], [], [], []
@@ -466,6 +471,35 @@ def q_dedup_simhash(sf_dir: str):
         .reset_index(drop=True)
     )
     return out
+
+
+SQL_DEDUP_SIMHASH = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS t
+  FROM documents
+), th AS (
+  SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS hv
+  FROM toks
+), bits AS (
+  SELECT doc_id, i,
+         sum(CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM th CROSS JOIN range(0, 64) r(i)
+  GROUP BY doc_id, i
+), sigs0 AS (
+  SELECT doc_id,
+         sum(CASE WHEN acc > 0 THEN (1::UBIGINT << i) ELSE 0::UBIGINT END) AS sig
+  FROM bits GROUP BY doc_id
+), sigs AS (
+  -- docs with no tokens have signature 0 (the kernel's empty-text path)
+  SELECT d.doc_id, COALESCE(s.sig, 0)::UBIGINT AS sig
+  FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN sigs0 s USING (doc_id)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.sig, b.sig))::BIGINT AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= {SIMHASH_MAX_HAMMING}
+"""
 
 
 # -- embedding-cosine near-dup ----------------------------------------------
