@@ -5,8 +5,8 @@ text corpus is the sf0.001 ``documents`` table.  ``queries()`` exposes
 one entry per implemented operator family from SURVEY.md §2 (plus the
 training-data-pipeline additions); each SQL-expressible one has a
 DuckDB oracle in ``oracle_sql()`` with identical column names and float
-rounding.  Non-SQL-expressible ops (the crawl itself, MinHash near-dup,
-language-ID, LSH ANN) are rows-only by design — their exact
+rounding.  Non-SQL-expressible ops (the crawl itself, language-ID,
+LSH ANN) are rows-only by design — their exact
 conformance oracles live in tests/ (single-threaded reference-semantics
 simulators).
 
@@ -117,6 +117,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": dedup.SQL_DEDUP_EXACT,
         "dedup_ngram": dedup.SQL_DEDUP_NGRAM,
         "dedup_simhash": dedup.SQL_DEDUP_SIMHASH,
+        "dedup_minhash": dedup.sql_dedup_minhash(),
         "dedup_clusters": dedup.SQL_DEDUP_CLUSTERS,
         "dedup_embedding": dedup.SQL_DEDUP_EMBEDDING,
         "knn_bruteforce": similarity.sql_knn_bruteforce(),

@@ -126,9 +126,14 @@ def minhash_signature(
 
 
 def hash_shingle(s: str) -> int:
+    """Shingle → uint, first 8 bytes of md5 big-endian mod 2^61-1 —
+    md5 (over blake2b) so DuckDB can recompute it
+    (``('0x' || substr(md5(s), 1, 16))::UBIGINT % M``), making the
+    MinHash signatures — and hence the LSH dedup query — exactly
+    SQL-oracle-checkable."""
     import hashlib
 
-    return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big") % _MERSENNE
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big") % _MERSENNE
 
 
 # -- SimHash ---------------------------------------------------------------

@@ -90,9 +90,76 @@ def _compact(ds, rows_per_block: int = 500_000):
     return ds
 
 
+def sql_dedup_minhash() -> str:
+    """DuckDB oracle for q_dedup_minhash — EXACT, not approximate.
+
+    The whole MinHash+LSH pipeline is deterministic, so SQL can
+    recompute it bit for bit: shingle hash = first 8 bytes of md5 mod
+    2^61-1 (hash_shingle), permuted values replicate numpy's uint64
+    wraparound via HUGEINT (``(a*h + b) % 2^64 % M``), the 64
+    permutation params (RandomState(42)) are inlined as literals, and
+    band equality is the 4-tuple of signature values (the pipeline's
+    md5-of-bytes band key is just a rendering of that tuple).
+    Candidates (any band equal) are then verified by true shingle
+    Jaccard exactly as the pipeline does."""
+    from ..functions.textstats import _MERSENNE
+
+    a_par, b_par = minhash_params(NUM_PERM)
+    perms_vals = ", ".join(
+        f"({i}, {int(a_par[i])}::UBIGINT, {int(b_par[i])}::UBIGINT)"
+        for i in range(NUM_PERM)
+    )
+    M = _MERSENNE
+    K = SHINGLE_K
+    rows_per_band = NUM_PERM // NUM_BANDS
+    return rf"""
+WITH perms(i, pa, pb) AS (VALUES {perms_vals}),
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS tk
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) = 0 THEN []
+              WHEN len(tk) < {K} THEN [array_to_string(tk, ' ')]
+              ELSE list_distinct([array_to_string(tk[i:i+{K - 1}], ' ')
+                                 FOR i IN range(1, len(tk) - {K - 2})])
+         END AS s
+  FROM toks
+), shh AS (
+  SELECT doc_id, ('0x' || substr(md5(unnest(s)), 1, 16))::UBIGINT % {M} AS hv
+  FROM sh
+), sigs0 AS (
+  SELECT doc_id, p.i,
+         min(((p.pa::HUGEINT * hv + p.pb) % 18446744073709551616) % {M})::UBIGINT AS sv
+  FROM shh CROSS JOIN perms p
+  GROUP BY doc_id, p.i
+), bandkeys AS (
+  SELECT doc_id, i // {rows_per_band} AS band,
+         array_to_string(list(sv ORDER BY i), ',') AS bkey
+  FROM sigs0 GROUP BY doc_id, i // {rows_per_band}
+), cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bandkeys x JOIN bandkeys y ON x.band = y.band AND x.bkey = y.bkey
+       AND x.doc_id < y.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       round(len(list_intersect(sa.s, sb.s))::DOUBLE /
+             (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))), 6) AS jac
+FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a JOIN sh sb ON sb.doc_id = c.doc_b
+WHERE len(list_intersect(sa.s, sb.s))::DOUBLE /
+      (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= {JACCARD_THRESHOLD}
+"""
+
+
 def q_dedup_minhash(sf_dir: str):
     """MinHash+LSH near-duplicate pairs, verified by true shingle
     Jaccard — fully distributed (no driver-side corpus broadcast).
+
+    EXACT, and SQL-oracle-checked (sql_dedup_minhash): every step —
+    md5 shingle hash, numpy-uint64 permutation arithmetic, 16×4
+    banding, true-Jaccard verification — is deterministic and
+    recomputed by the DuckDB oracle.
 
     Shuffle pattern (ray_guide 'Aggregation at scale'):
 
