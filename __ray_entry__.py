@@ -121,6 +121,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": dedup.SQL_DEDUP_CLUSTERS,
         "dedup_embedding": dedup.SQL_DEDUP_EMBEDDING,
         "knn_bruteforce": similarity.sql_knn_bruteforce(),
+        "approx_distinct_users": events.sql_approx_distinct_users(),
         "window_tumbling": events.SQL_WINDOW_TUMBLING,
         "window_sliding": events.SQL_WINDOW_SLIDING,
         "asof_join": events.SQL_ASOF_JOIN,

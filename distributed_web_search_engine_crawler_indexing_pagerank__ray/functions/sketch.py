@@ -62,7 +62,13 @@ class HyperLogLog:
 
     def estimate(self) -> float:
         m = self.m
-        est = self.alpha * m * m / np.sum(2.0 ** (-self.registers.astype(np.float64)))
+        # S = sum(2^-reg) kept as an EXACT dyadic rational
+        # (sum(2^(53-reg)) / 2^53, arbitrary-precision int): makes the
+        # estimate bit-deterministic regardless of summation order, so
+        # a SQL oracle recomputing the same integer gets the identical
+        # double (events.sql_approx_distinct_users).
+        s_int = sum(1 << (53 - int(r)) for r in self.registers)
+        est = self.alpha * m * m * 9007199254740992.0 / s_int
         if est <= 2.5 * m:
             zeros = int(np.count_nonzero(self.registers == 0))
             if zeros:

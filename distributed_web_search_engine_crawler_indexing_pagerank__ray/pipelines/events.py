@@ -8,6 +8,8 @@ an ordered, partitioned log; windows are groupby + in-group pandas.
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -126,8 +128,12 @@ def q_approx_distinct_users(sf_dir: str):
     one serialized sketch per (batch, type) from map_batches, merged in
     a tiny driver combine (the guide's mergeable-sketch shape — at
     scale the merge is a groupby over kilobyte sketches, never a
-    shuffle of raw values).  Rows-only driver check; the error bound vs
-    exact distinct is unit-tested."""
+    shuffle of raw values).
+
+    EXACT, and SQL-oracle-checked (sql_approx_distinct_users): the
+    splitmix64 mix, register ranks, and the estimate arithmetic are all
+    deterministic, so DuckDB recomputes the identical integer estimate;
+    the error bound vs exact distinct is additionally unit-tested."""
     from ..functions.sketch import HyperLogLog
 
     def sketch_batch(t: pa.Table) -> pa.Table:
@@ -169,11 +175,82 @@ def q_approx_distinct_users(sf_dir: str):
     return pa.table(
         {
             "event_type": pa.array(types, pa.string()),
+            # floor(x+0.5), not round(): Python round() is banker's but
+            # the SQL oracle rounds half-up — align on the latter
             "approx_users": pa.array(
-                [int(round(merged[t].estimate())) for t in types], pa.int64()
+                [int(math.floor(merged[t].estimate() + 0.5)) for t in types],
+                pa.int64(),
             ),
         }
     )
+
+
+def sql_approx_distinct_users() -> str:
+    """DuckDB oracle for q_approx_distinct_users — EXACT, not a bound.
+
+    Recomputes the HyperLogLog (functions/sketch.py) bit for bit:
+    the splitmix64-style mix with its mod-2^64 multiplies done by
+    32-bit split in HUGEINT, register rank = leading zeros of the
+    suffix (+1) via bit-length, and the estimate from the exact dyadic
+    register sum (sum 2^(53-rank) as an integer) so the double division
+    is identical to the sketch's.  Register merge order is immaterial
+    (element-wise max), so per-batch sketching in the pipeline and
+    direct grouping here agree exactly."""
+    from ..functions.sketch import HyperLogLog
+
+    hll = HyperLogLog()
+    p, m = hll.p, hll.m
+    alpha_expr = f"(0.7213 / (1 + 1.079 / {m}.0))"
+    assert m >= 128, "alpha formula below assumes m >= 128"
+    c1 = 0xBF58476D1CE4E5B9
+    c2 = 0x94D049BB133111EB
+
+    def mulmod64(x: str, c: int) -> str:
+        # (x * c) mod 2^64 with x < 2^64: split c into 32-bit halves so
+        # every HUGEINT intermediate stays < 2^96
+        ch, cl = c >> 32, c & 0xFFFFFFFF
+        return (
+            f"((({x} % 4294967296) * {cl} + "
+            f"((({x} // 4294967296) * {cl} + ({x} % 4294967296) * {ch})"
+            f" % 4294967296) * 4294967296) % 18446744073709551616)"
+        )
+
+    mix1 = mulmod64("xor(x::UBIGINT, (x::UBIGINT >> 30))::HUGEINT", c1)
+    mix2 = mulmod64("xor(x::UBIGINT, (x::UBIGINT >> 27))::HUGEINT", c2)
+    return f"""
+WITH u AS (
+  SELECT DISTINCT event_type, user_id::HUGEINT AS x FROM events
+), m1 AS (
+  SELECT event_type, {mix1} AS x FROM u
+), m2 AS (
+  SELECT event_type, {mix2} AS x FROM m1
+), hh AS (
+  SELECT event_type, xor(x::UBIGINT, (x::UBIGINT >> 31)) AS h FROM m2
+), rr AS (
+  SELECT event_type, (h >> {64 - p})::BIGINT AS idx,
+         ((h::HUGEINT % {1 << (64 - p)}) * {1 << p} + {m - 1}) AS rest
+  FROM hh
+), regs AS (
+  SELECT event_type, idx,
+         max(64 - length(ltrim(bin(rest::UBIGINT), '0')) + 1) AS rank
+  FROM rr GROUP BY event_type, idx
+), agg AS (
+  SELECT event_type, count(*) AS n_regs,
+         sum((1::HUGEINT << (53 - rank))) AS s_present
+  FROM regs GROUP BY event_type
+), est AS (
+  SELECT event_type,
+         {alpha_expr} * {m} * {m} * 9007199254740992.0 /
+            (s_present + ({m} - n_regs)::HUGEINT * 9007199254740992)::DOUBLE AS raw,
+         ({m} - n_regs) AS zeros
+  FROM agg
+)
+SELECT event_type,
+       CASE WHEN raw <= 2.5 * {m} AND zeros > 0
+            THEN floor({m} * ln({m}.0 / zeros) + 0.5)::BIGINT
+            ELSE floor(raw + 0.5)::BIGINT END AS approx_users
+FROM est
+"""
 
 
 # -- sliding windows ---------------------------------------------------------
