@@ -114,6 +114,7 @@ def oracle_sql() -> dict[str, str]:
         "inverted_index": textpipe.SQL_INVERTED_INDEX,
         "tfidf_docs": textpipe.SQL_TFIDF_DOCS,
         "quality": textpipe.SQL_QUALITY,
+        "text_stats": textpipe.sql_text_stats(),
         "dedup_exact": dedup.SQL_DEDUP_EXACT,
         "dedup_ngram": dedup.SQL_DEDUP_NGRAM,
         "dedup_simhash": dedup.SQL_DEDUP_SIMHASH,

@@ -248,6 +248,92 @@ FROM documents
 """
 
 
+def sql_text_stats() -> str:
+    """DuckDB oracle for q_text_stats — EXACT for ASCII corpora.
+
+    Every kernel is deterministic and recomputed in SQL: language ID
+    (marker-token join + argmax with the kernel's lang-ASC tie-break),
+    BPE-ish piece count (same regex, leftmost-first in both Python re
+    and RE2), the polynomial rolling-hash fingerprint (per-char ord ×
+    modpow via a recursive power table — valid because the testdata
+    corpus is pure ASCII, so codepoints == UTF-8 bytes; asserted
+    nowhere but checked by the driver's value-hash), and the
+    stopword/length ratios.  Marker and stopword lists are inlined
+    from the Python constants so the two sides can never drift."""
+    from ..functions.textstats import _FP_BASE, _FP_MOD, _LANG_MARKERS
+    from ..functions.tokenize import STOP_WORDS
+
+    markers_vals = ", ".join(
+        f"('{lg}', '{t}')"
+        for lg in sorted(_LANG_MARKERS)
+        for t in sorted(_LANG_MARKERS[lg])
+    )
+    q = "'"
+    stop_vals = ", ".join(f"('{w.replace(q, q * 2)}')" for w in sorted(STOP_WORDS))
+    return rf"""
+WITH RECURSIVE markers(lang, mt) AS (VALUES {markers_vals}),
+stops(sw) AS (VALUES {stop_vals}),
+toks AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+  FROM documents
+), norm AS (
+  SELECT doc_id, array_to_string(tk, ' ') AS s,
+         length(array_to_string(tk, ' ')) AS n
+  FROM toks
+), maxn(mx) AS (SELECT coalesce(max(n), 0) FROM norm),
+pows(k, v) AS (
+  SELECT 0, 1::HUGEINT
+  UNION ALL
+  SELECT k + 1, (v * {_FP_BASE}) % {_FP_MOD} FROM pows WHERE k < (SELECT mx FROM maxn)
+),
+fpchars AS (
+  SELECT doc_id, s, n, unnest(generate_series(1, n)) AS i FROM norm WHERE n > 0
+),
+fp AS (
+  SELECT doc_id,
+         (sum(ord(substring(s, i, 1))::HUGEINT * p.v) % {_FP_MOD})::UBIGINT AS fingerprint
+  FROM fpchars JOIN pows p ON p.k = n - i
+  GROUP BY doc_id
+),
+langtok AS (
+  SELECT doc_id, lower(unnest(tk[1:200])) AS t FROM toks
+),
+scores AS (
+  SELECT doc_id, m.lang, count(*) AS sc
+  FROM langtok j JOIN markers m ON j.t = m.mt
+  GROUP BY doc_id, m.lang
+),
+best AS (
+  SELECT doc_id, lang FROM scores
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY sc DESC, lang ASC) = 1
+),
+stopcnt AS (
+  SELECT t.doc_id, count(s.sw) AS n_stop
+  FROM (SELECT doc_id, lower(unnest(tk)) AS tt FROM toks) t
+  LEFT JOIN stops s ON t.tt = s.sw
+  GROUP BY t.doc_id
+),
+qual AS (
+  SELECT doc_id, len(tk) AS n_tokens,
+         CASE WHEN len(tk) = 0 THEN 0.0
+              ELSE list_sum(list_transform(tk, x -> length(x)))::DOUBLE / len(tk) END AS avg_token_len
+  FROM toks
+)
+SELECT t.doc_id,
+       coalesce(b.lang, 'und') AS lang,
+       len(regexp_extract_all(t.text, '[A-Za-z]{{1,4}}|[0-9]|[^A-Za-z0-9\s]'))::BIGINT AS n_bpe_tokens,
+       coalesce(f.fingerprint, 0)::UBIGINT AS fingerprint,
+       round(CASE WHEN q.n_tokens = 0 THEN 0.0 ELSE sc.n_stop::DOUBLE / q.n_tokens END, 6) AS stop_ratio,
+       round(q.avg_token_len, 6) AS avg_token_len
+FROM toks t
+LEFT JOIN best b USING (doc_id)
+LEFT JOIN fp f USING (doc_id)
+LEFT JOIN stopcnt sc USING (doc_id)
+LEFT JOIN qual q USING (doc_id)
+"""
+
+
 class TextStats:
     """Actor-pool stage: full quality metrics + language ID + BPE-ish
     token count + rolling-hash fingerprint (stateful setup: compiled
@@ -280,8 +366,9 @@ class TextStats:
 
 
 def q_text_stats(sf_dir: str):
-    """Language-ID + quality + fingerprint, as an actor-pool stage
-    (rows-only driver check; unit-tested against the pure kernels)."""
+    """Language-ID + quality + fingerprint, as an actor-pool stage.
+    EXACT, and SQL-oracle-checked (sql_text_stats); also unit-tested
+    against the pure kernels."""
     return _docs(sf_dir).map_batches(
         TextStats, batch_format="pyarrow", batch_size=512, concurrency=2
     )
