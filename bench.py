@@ -41,6 +41,7 @@ QUERY_NAMES = [
     "tfidf_docs",
     "dedup_exact",
     "dedup_minhash",
+    "dedup_simhash",
     "dedup_ngram",
     "dedup_clusters",
     "knn_bruteforce",
@@ -49,6 +50,8 @@ QUERY_NAMES = [
     "window_tumbling",
     "sessionize",
     "asof_join",
+    "approx_distinct_users",
+    "text_stats",
 ]
 
 
