@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": dedup.q_dedup_simhash,
         "dedup_ngram": dedup.q_dedup_ngram,
         "dedup_embedding": dedup.q_dedup_embedding,
+        "dedup_embedding_lsh": dedup.q_dedup_embedding_lsh,
         # similarity search
         "knn_bruteforce": similarity.q_knn_bruteforce,
         "knn_lsh": similarity.q_knn_lsh,
@@ -121,6 +122,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": dedup.sql_dedup_minhash(),
         "dedup_clusters": dedup.SQL_DEDUP_CLUSTERS,
         "dedup_embedding": dedup.SQL_DEDUP_EMBEDDING,
+        "dedup_embedding_lsh": dedup.sql_dedup_embedding_lsh(),
         "knn_bruteforce": similarity.sql_knn_bruteforce(),
         "approx_distinct_users": events.sql_approx_distinct_users(),
         "window_tumbling": events.SQL_WINDOW_TUMBLING,

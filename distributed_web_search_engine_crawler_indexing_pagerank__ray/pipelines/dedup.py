@@ -866,3 +866,264 @@ FROM embeddings a JOIN embeddings b
 WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4)
       >= {COSINE_THRESHOLD}
 """
+
+
+# -- embedding near-dup, hyperplane-LSH banded (no label assumption) ---------
+
+EMB_LSH_PLANES = 16  # signature bits
+EMB_LSH_BANDS = 4  # 4 bands x 4 bits; any band equal -> candidate
+EMB_LSH_SEED = 1234
+EMB_QUANT = 1 << 20  # fixed-point quantization scale for the projections
+
+
+def _emb_lsh_planes() -> np.ndarray:
+    """±1 Rademacher hyperplanes, (EMB_LSH_PLANES, dim).  Integer-valued
+    ON PURPOSE: the signature bit is sign(sum(q_d * s_id)) over
+    fixed-point-quantized components q_d = floor(x_d * 2^20 + 0.5), so
+    the whole signature is exact integer arithmetic — no float
+    summation-order sensitivity, and a DuckDB oracle recomputes it bit
+    for bit (sql_dedup_embedding_lsh)."""
+    rng = np.random.RandomState(EMB_LSH_SEED)
+    return (rng.randint(0, 2, size=(EMB_LSH_PLANES, 64)) * 2 - 1).astype(np.int64)
+
+
+def q_dedup_embedding_lsh(sf_dir: str):
+    """Embedding near-dup over the WHOLE corpus — hyperplane-LSH banding
+    replaces q_dedup_embedding's label-bucket assumption (the scale
+    path: candidates come from signature-band groupby buckets, an
+    all-to-all of (band, key, vec_id) rows only; embeddings move by
+    bucketed semi-join for verification, never broadcast).
+
+    EXACT parity with the SQL oracle: signatures are integer
+    (quantize → ±1-plane dot → sign), banding is deterministic, and
+    verification thresholds the 4-digit-rounded cosine exactly like
+    q_dedup_embedding.  Approximate RECALL (any-band collision) is the
+    documented LSH tradeoff, unit-tested on planted duplicates."""
+    ds = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    planes = _emb_lsh_planes()
+    bits_per_band = EMB_LSH_PLANES // EMB_LSH_BANDS
+
+    def sig(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy()
+        m = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()]
+        )
+        q = np.floor(m * float(EMB_QUANT) + 0.5).astype(np.int64)
+        proj = q @ planes[:, : q.shape[1]].T  # (n, planes), exact int
+        bits = (proj >= 0).astype(np.int64)  # (n, planes)
+        out_id, out_band, out_key = [], [], []
+        for b in range(EMB_LSH_BANDS):
+            chunk = bits[:, b * bits_per_band : (b + 1) * bits_per_band]
+            key = (chunk * (1 << np.arange(bits_per_band))).sum(axis=1)
+            out_id.append(ids)
+            out_band.append(np.full(len(ids), b, dtype=np.int32))
+            out_key.append(key)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_id), pa.int64()),
+                "band": pa.array(np.concatenate(out_band), pa.int32()),
+                "bkey": pa.array(np.concatenate(out_key).astype(np.int32)),
+            }
+        )
+
+    cand = (
+        ds.map_batches(sig, batch_format="pyarrow")
+        .groupby(["band", "bkey"])
+        .map_groups(_candidate_pairs, batch_format="pyarrow")
+    )
+    return _verify_candidate_pairs_embedding(sf_dir, cand)
+
+
+def _verify_candidate_pairs_embedding(sf_dir: str, cand):
+    """Rounded-cosine verification of candidate (doc_a, doc_b) vec-id
+    pairs — same distributed shape as _verify_candidate_pairs (dedupe
+    → semi-join → bucketed equi-join → per-bucket verify), with the
+    embedding column in place of text.  Returns (vec_a, vec_b, cos)."""
+    NB = DEDUP_JOIN_BUCKETS
+    emb = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def pre_dedupe(t: pa.Table) -> pa.Table:
+        g = t.to_pandas().drop_duplicates(["doc_a", "doc_b"])
+        da = g["doc_a"].to_numpy(dtype=np.int64)
+        db = g["doc_b"].to_numpy(dtype=np.int64)
+        return pa.table(
+            {
+                "doc_a": pa.array(da),
+                "doc_b": pa.array(db),
+                "pb": pa.array(((da * 31 + db) % NB).astype(np.int32)),
+            }
+        )
+
+    def dedupe(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().drop_duplicates(["doc_a", "doc_b"])
+        return pa.table(
+            {
+                "doc_a": pa.array(df["doc_a"].to_numpy(dtype=np.int64)),
+                "doc_b": pa.array(df["doc_b"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    uniq = _compact(
+        cand.map_batches(pre_dedupe, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(dedupe, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def pair_ids(t: pa.Table) -> pa.Table:
+        both = pa.concat_arrays(
+            [t["doc_a"].combine_chunks(), t["doc_b"].combine_chunks()]
+        )
+        return pa.table({"vec_id": pc.unique(both)})
+
+    ids = sorted(uniq.map_batches(pair_ids, batch_format="pyarrow").unique("vec_id"))
+    ids_ref = ray.put(pa.array(ids, pa.int64()))
+
+    def tag_pairs(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].combine_chunks()
+        b = t["doc_b"].combine_chunks()
+        jkey = pa.concat_arrays([a, b])
+        return pa.table(
+            {
+                "bucket": pc.cast(
+                    pc.bit_wise_and(jkey, pa.scalar(NB - 1)), pa.int32()
+                ),
+                "jkey": jkey,
+                "side": pa.array(["p"] * len(jkey), pa.string()),
+                "doc_a": pa.concat_arrays([a, a]),
+                "doc_b": pa.concat_arrays([b, b]),
+                "role": pa.array(["a"] * len(a) + ["b"] * len(b), pa.string()),
+                "embedding": pa.nulls(len(jkey), pa.list_(pa.float64())),
+            }
+        )
+
+    def tag_vecs(t: pa.Table) -> pa.Table:
+        want = ray.get(ids_ref)
+        t = t.filter(pc.is_in(t["vec_id"], value_set=want))  # semi-join
+        k = t["vec_id"]
+        return pa.table(
+            {
+                "bucket": pc.cast(pc.bit_wise_and(k, pa.scalar(NB - 1)), pa.int32()),
+                "jkey": k,
+                "side": pa.array(["d"] * t.num_rows, pa.string()),
+                "doc_a": pa.nulls(t.num_rows, pa.int64()),
+                "doc_b": pa.nulls(t.num_rows, pa.int64()),
+                "role": pa.nulls(t.num_rows, pa.string()),
+                "embedding": pc.cast(t["embedding"], pa.list_(pa.float64())),
+            }
+        )
+
+    tagged = uniq.map_batches(tag_pairs, batch_format="pyarrow").union(
+        emb.map_batches(tag_vecs, batch_format="pyarrow")
+    )
+
+    def attach_vec(t: pa.Table) -> pa.Table:
+        g = t.to_pandas()
+        p = g[g["side"] == "p"][["jkey", "doc_a", "doc_b", "role"]]
+        d = g[g["side"] == "d"][["jkey", "embedding"]]
+        m = p.merge(d, on="jkey", how="inner")
+        da = m["doc_a"].to_numpy(dtype=np.int64)
+        db = m["doc_b"].to_numpy(dtype=np.int64)
+        return pa.table(
+            {
+                "doc_a": pa.array(da),
+                "doc_b": pa.array(db),
+                "role": pa.array(m["role"], pa.string()),
+                "embedding": pa.array(
+                    list(m["embedding"]), pa.list_(pa.float64())
+                ),
+                "pb": pa.array(((da * 31 + db) % NB).astype(np.int32)),
+            }
+        )
+
+    halves = tagged.groupby("bucket").map_groups(attach_vec, batch_format="pyarrow")
+
+    def verify(t: pa.Table) -> pa.Table:
+        g = t.to_pandas()
+        a = g[g["role"] == "a"][["doc_a", "doc_b", "embedding"]].rename(
+            columns={"embedding": "va"}
+        )
+        b = g[g["role"] == "b"][["doc_a", "doc_b", "embedding"]].rename(
+            columns={"embedding": "vb"}
+        )
+        m = a.merge(b, on=["doc_a", "doc_b"], how="inner")
+        if len(m) == 0:
+            return pa.table(
+                {
+                    "vec_a": pa.array([], pa.int64()),
+                    "vec_b": pa.array([], pa.int64()),
+                    "cos": pa.array([], pa.float64()),
+                }
+            )
+        va = np.stack([np.asarray(v, dtype=np.float64) for v in m["va"]])
+        vb = np.stack([np.asarray(v, dtype=np.float64) for v in m["vb"]])
+        na = np.linalg.norm(va, axis=1)
+        nb = np.linalg.norm(vb, axis=1)
+        na[na == 0] = 1.0
+        nb[nb == 0] = 1.0
+        cos = np.round((va * vb).sum(axis=1) / (na * nb), 4)
+        mask = cos >= COSINE_THRESHOLD
+        return pa.table(
+            {
+                "vec_a": pa.array(m["doc_a"].to_numpy(dtype=np.int64)[mask]),
+                "vec_b": pa.array(m["doc_b"].to_numpy(dtype=np.int64)[mask]),
+                "cos": pa.array(cos[mask], pa.float64()),
+            }
+        )
+
+    out = (
+        halves.groupby("pb")
+        .map_groups(verify, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["vec_a", "vec_b"])
+        .reset_index(drop=True)
+    )
+    return out
+
+
+def sql_dedup_embedding_lsh() -> str:
+    """DuckDB oracle for q_dedup_embedding_lsh — EXACT.  The ±1 plane
+    matrix is inlined as literals, components are quantized with the
+    identical floor(x*2^20 + 0.5), the projection is pure integer
+    arithmetic (no float-order sensitivity), and verification uses the
+    same 4-digit-rounded cosine as SQL_DEDUP_EMBEDDING."""
+    planes = _emb_lsh_planes()
+    plane_vals = ", ".join(
+        f"({i}, {d}, {int(planes[i, d])})"
+        for i in range(planes.shape[0])
+        for d in range(planes.shape[1])
+    )
+    bpb = EMB_LSH_PLANES // EMB_LSH_BANDS
+    return f"""
+WITH planes(i, d, s) AS (VALUES {plane_vals}),
+emb AS (
+  SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+         generate_subscripts(embedding, 1) - 1 AS d
+  FROM embeddings
+), quant AS (
+  SELECT vec_id, d, floor(x * {EMB_QUANT}.0 + 0.5)::BIGINT AS q FROM emb
+), proj AS (
+  SELECT vec_id, p.i, sum(q * p.s) AS pr
+  FROM quant JOIN planes p USING (d)
+  GROUP BY vec_id, p.i
+), bandkeys AS (
+  SELECT vec_id, i // {bpb} AS band,
+         sum(CASE WHEN pr >= 0 THEN (1 << (i % {bpb})) ELSE 0 END) AS bkey
+  FROM proj GROUP BY vec_id, i // {bpb}
+), cand AS (
+  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+  FROM bandkeys x JOIN bandkeys y
+    ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id
+)
+SELECT c.vec_a, c.vec_b,
+       round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos
+FROM cand c
+JOIN embeddings a ON a.vec_id = c.vec_a
+JOIN embeddings b ON b.vec_id = c.vec_b
+WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4)
+      >= {COSINE_THRESHOLD}
+"""

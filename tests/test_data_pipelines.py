@@ -134,6 +134,37 @@ def test_dedup_simhash_pairs_are_close():
         assert d == r.hamming <= dedup.SIMHASH_MAX_HAMMING
 
 
+def test_dedup_embedding_lsh_finds_planted_duplicates(tmp_path):
+    """Hyperplane-LSH embedding dedup (no label-bucket assumption):
+    exact duplicate vectors have identical integer signatures, so every
+    planted dup pair MUST surface (recall 1.0 on exact dups — the
+    deterministic subset of the LSH contract), with cos 1.0; and no
+    pair below the threshold may appear."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines import dedup
+
+    rng = np.random.default_rng(11)
+    dim, n_bg, n_dup = 64, 400, 10
+    bg = rng.standard_normal((n_bg, dim))
+    m = np.vstack([bg, bg[:n_dup]])  # last n_dup rows duplicate the first
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(m)), pa.int64()),
+            "embedding": pa.array(list(m), pa.list_(pa.float64())),
+            "label": pa.array(np.zeros(len(m), dtype=np.int64)),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+
+    out = _to_df(dedup.q_dedup_embedding_lsh(str(tmp_path)))
+    got = set(zip(out["vec_a"], out["vec_b"]))
+    for i in range(n_dup):
+        assert (i, n_bg + i) in got, f"planted dup pair {i} missed"
+    assert (out["cos"] >= dedup.COSINE_THRESHOLD).all()
+
+
 def test_knn_lsh_recall_on_planted_neighbors(tmp_path):
     """LSH's contract is high recall at low scan on ANGULARLY CLUSTERED
     data (the sf fixture embeddings are near-random, where any sublinear
