@@ -411,7 +411,10 @@ def q_dedup_ngram(sf_dir: str):
 
     The shuffles move (int64, int64) rows proportional to total
     distinct-shingle occurrences — the canonical AllPairs cost; no
-    stage holds the corpus or the candidate set on the driver.
+    stage holds the corpus or the candidate set on the driver.  All
+    per-key steps (df stamp, prefix, candidate self-join) run on hash
+    BUCKETS of keys — ~NB vectorized pandas kernels per stage instead
+    of one Python map_groups call per distinct shingle/doc.
 
     Returns (doc_a, doc_b, jac), doc_a < doc_b, rounded to 6 digits.
     Oracle: SQL_DEDUP_NGRAM (all-pairs list-intersection in DuckDB)."""
@@ -436,22 +439,83 @@ def q_dedup_ngram(sf_dir: str):
 
     rows = _docs(sf_dir).map_batches(explode, batch_format="pyarrow")
 
+    # Every per-key step below runs on HASH BUCKETS of keys, not single
+    # keys: a groupby(sh).map_groups would make one Python call per
+    # distinct shingle (millions at scale); bucketing gives ~NB calls,
+    # each a vectorized pandas kernel over the whole bucket.
+    NB = DEDUP_JOIN_BUCKETS
+
+    def tag_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bucket": pc.cast(
+                    pc.bit_wise_and(t["sh"], pa.scalar(NB - 1)), pa.int32()
+                ),
+                "sh": t["sh"],
+                "doc_id": t["doc_id"],
+            }
+        )
+
     def stamp_df(g: pa.Table) -> pa.Table:
-        return g.append_column(
-            "df", pa.array([g.num_rows] * g.num_rows, pa.int64())
+        # bucket = sh % NB, so EVERY occurrence of a shingle is in this
+        # bucket: its global df is just the in-bucket count — no
+        # separate Count aggregate + join needed
+        d = g.to_pandas()
+        da = d["doc_id"].to_numpy(dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(da),
+                "sh": pa.array(d["sh"].to_numpy(dtype=np.int64)),
+                "df": pa.array(
+                    d.groupby("sh")["sh"].transform("size").to_numpy(dtype=np.int64)
+                ),
+                # co-bucket the prefix step by doc
+                "db": pa.array((da % NB).astype(np.int32)),
+            }
         )
 
-    with_df = rows.groupby("sh").map_groups(stamp_df, batch_format="pyarrow")
+    with_df = (
+        rows.map_batches(tag_rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(stamp_df, batch_format="pyarrow")
+    )
 
-    def prefix(g: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(
-            g, sort_keys=[("df", "ascending"), ("sh", "ascending")]
+    def prefix_bucket(g: pa.Table) -> pa.Table:
+        # per-doc AllPairs prefix, vectorized across the whole bucket:
+        # sort (doc, df, sh), keep cumcount < n - floor(t*n) + 1
+        d = g.to_pandas().sort_values(["doc_id", "df", "sh"])
+        grp = d.groupby("doc_id", sort=False)
+        n = grp["sh"].transform("size").to_numpy()
+        keep = grp.cumcount().to_numpy() < (
+            n - (NGRAM_THRESHOLD * n).astype(np.int64) + 1
         )
-        p = g.num_rows - int(NGRAM_THRESHOLD * g.num_rows) + 1
-        return g.take(idx[:p]).select(["doc_id", "sh"])
+        kept = d[keep]
+        sh = kept["sh"].to_numpy(dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(kept["doc_id"].to_numpy(dtype=np.int64)),
+                "sh": pa.array(sh),
+                "sb": pa.array((sh & (NB - 1)).astype(np.int32)),
+            }
+        )
 
-    pref = with_df.groupby("doc_id").map_groups(prefix, batch_format="pyarrow")
-    cand = pref.groupby("sh").map_groups(_candidate_pairs, batch_format="pyarrow")
+    pref = with_df.groupby("db").map_groups(prefix_bucket, batch_format="pyarrow")
+
+    def cand_bucket(g: pa.Table) -> pa.Table:
+        # candidate pairs = per-shingle self-join, one vectorized merge
+        # per bucket (duplicates collapse in _verify_candidate_pairs)
+        d = g.to_pandas()[["doc_id", "sh"]]
+        m = d.merge(d, on="sh")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        m = m.drop_duplicates(["doc_id_x", "doc_id_y"])
+        return pa.table(
+            {
+                "doc_a": pa.array(m["doc_id_x"].to_numpy(dtype=np.int64)),
+                "doc_b": pa.array(m["doc_id_y"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    cand = pref.groupby("sb").map_groups(cand_bucket, batch_format="pyarrow")
     return _verify_candidate_pairs(sf_dir, cand, NGRAM_K, NGRAM_THRESHOLD)
 
 
