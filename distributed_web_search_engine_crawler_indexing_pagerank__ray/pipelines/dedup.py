@@ -77,6 +77,22 @@ JACCARD_THRESHOLD = 0.5
 
 DEDUP_JOIN_BUCKETS = 32
 
+_POP16 = None  # lazy 16-bit popcount table (65 KiB, built once per worker)
+
+
+def _popcount64(x: "np.ndarray") -> "np.ndarray":
+    """Vectorized popcount of a uint64 array via a 16-bit lookup table
+    (numpy 1.x has no bitwise_count ufunc)."""
+    global _POP16
+    if _POP16 is None:
+        _POP16 = np.array(
+            [bin(i).count("1") for i in range(1 << 16)], dtype=np.uint8
+        )
+    r = np.zeros(len(x), dtype=np.int64)
+    for s in (0, 16, 32, 48):
+        r += _POP16[((x >> np.uint64(s)) & np.uint64(0xFFFF)).astype(np.int64)]
+    return r
+
 
 def _compact(ds, rows_per_block: int = 500_000):
     """Repartition a materialized dataset whose groupby lineage left it
@@ -174,8 +190,10 @@ def q_dedup_minhash(sf_dir: str):
     digits."""
     a_par, b_par = minhash_params(NUM_PERM)
 
+    NB = DEDUP_JOIN_BUCKETS
+
     def sigs(t: pa.Table) -> pa.Table:
-        band_ids, band_hashes, doc_ids = [], [], []
+        band_ids, band_hashes, doc_ids, buckets = [], [], [], []
         rows_per_band = NUM_PERM // NUM_BANDS
         for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
             sig = minhash_signature(shingles(text or "", SHINGLE_K), a_par, b_par)
@@ -185,8 +203,12 @@ def q_dedup_minhash(sf_dir: str):
                 band_ids.append(b)
                 band_hashes.append(h)
                 doc_ids.append(doc_id)
+                # bucket on the band KEY: equal (band_id, band_hash)
+                # rows co-locate, so candidate gen is per-bucket
+                buckets.append((int(h[:8], 16) ^ b) & (NB - 1))
         return pa.table(
             {
+                "bucket": pa.array(buckets, pa.int32()),
                 "band_id": pa.array(band_ids, pa.int32()),
                 "band_hash": pa.array(band_hashes, pa.string()),
                 "doc_id": pa.array(doc_ids, pa.int64()),
@@ -195,9 +217,21 @@ def q_dedup_minhash(sf_dir: str):
 
     bands = _docs(sf_dir).map_batches(sigs, batch_format="pyarrow")
 
-    cand = bands.groupby(["band_id", "band_hash"]).map_groups(
-        _candidate_pairs, batch_format="pyarrow"
-    )
+    def cand_bucket(g: pa.Table) -> pa.Table:
+        # one vectorized self-merge per hash bucket of band keys — not
+        # one Python map_groups call per distinct (band_id, band_hash)
+        d = g.to_pandas()[["band_id", "band_hash", "doc_id"]]
+        m = d.merge(d, on=["band_id", "band_hash"])
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        m = m.drop_duplicates(["doc_id_x", "doc_id_y"])
+        return pa.table(
+            {
+                "doc_a": pa.array(m["doc_id_x"].to_numpy(dtype=np.int64)),
+                "doc_b": pa.array(m["doc_id_y"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    cand = bands.groupby("bucket").map_groups(cand_bucket, batch_format="pyarrow")
     return _verify_candidate_pairs(sf_dir, cand, SHINGLE_K, JACCARD_THRESHOLD)
 
 
@@ -558,17 +592,23 @@ def q_dedup_simhash(sf_dir: str):
     and the md5-based token hash lets DuckDB recompute the signatures
     bit for bit (SQL_DEDUP_SIMHASH)."""
 
+    NB = DEDUP_JOIN_BUCKETS
+
     def sig(t: pa.Table) -> pa.Table:
-        out_doc, out_band, out_key, out_sig = [], [], [], []
+        out_doc, out_band, out_key, out_sig, out_bkt = [], [], [], [], []
         for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
             s = simhash(text or "")
             for b in range(4):
+                k = (s >> (16 * b)) & 0xFFFF
                 out_doc.append(doc_id)
                 out_band.append(b)
-                out_key.append((s >> (16 * b)) & 0xFFFF)
+                out_key.append(k)
                 out_sig.append(s)
+                # bucket on the band KEY so equal (band, bkey) co-locate
+                out_bkt.append((k * 4 + b) & (NB - 1))
         return pa.table(
             {
+                "bucket": pa.array(out_bkt, pa.int32()),
                 "doc_id": pa.array(out_doc, pa.int64()),
                 "band": pa.array(out_band, pa.int32()),
                 "bkey": pa.array(out_key, pa.int32()),
@@ -578,24 +618,33 @@ def q_dedup_simhash(sf_dir: str):
 
     bands = _docs(sf_dir).map_batches(sig, batch_format="pyarrow")
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        rows = g.drop_duplicates("doc_id").sort_values("doc_id")
-        out = []
-        recs = list(zip(rows["doc_id"], rows["sig"]))
-        for i, (a, sa) in enumerate(recs):
-            for b, sb in recs[i + 1 :]:
-                d = hamming64(int(sa), int(sb))
-                if d <= SIMHASH_MAX_HAMMING:
-                    out.append((a, b, d))
-        return pd.DataFrame(out, columns=["doc_a", "doc_b", "hamming"]) if out else (
-            pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
-                          "doc_b": pd.Series(dtype="int64"),
-                          "hamming": pd.Series(dtype="int64")})
+    def pairs_bucket(g: pa.Table) -> pa.Table:
+        # one vectorized self-merge per hash bucket of band keys; the
+        # Hamming filter is a table-lookup popcount over the XOR'd sigs
+        d = g.to_pandas()[["band", "bkey", "doc_id", "sig"]]
+        m = d.merge(d, on=["band", "bkey"])
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        m = m.drop_duplicates(["doc_id_x", "doc_id_y"])
+        x = m["sig_x"].to_numpy(dtype=np.uint64) ^ m["sig_y"].to_numpy(
+            dtype=np.uint64
+        )
+        ham = _popcount64(x)
+        keep = ham <= SIMHASH_MAX_HAMMING
+        return pa.table(
+            {
+                "doc_a": pa.array(
+                    m["doc_id_x"].to_numpy(dtype=np.int64)[keep]
+                ),
+                "doc_b": pa.array(
+                    m["doc_id_y"].to_numpy(dtype=np.int64)[keep]
+                ),
+                "hamming": pa.array(ham[keep].astype(np.int64)),
+            }
         )
 
     out = (
-        bands.groupby(["band", "bkey"])
-        .map_groups(pairs, batch_format="pandas")
+        bands.groupby("bucket")
+        .map_groups(pairs_bucket, batch_format="pyarrow")
         .to_pandas()
         .drop_duplicates(["doc_a", "doc_b"])
         .sort_values(["doc_a", "doc_b"])
