@@ -21,7 +21,6 @@ import ray.data
 from ..sources.tables import read_parquet_clean
 
 from ..functions.textstats import (
-    hamming64,
     jaccard,
     minhash_params,
     minhash_signature,
@@ -241,13 +240,14 @@ def q_dedup_minhash(sf_dir: str):
 # sort/union (BlockType assertion failure).
 def _candidate_pairs(g: pa.Table) -> pa.Table:
     """All (doc_a < doc_b) pairs among the distinct doc_ids of one
-    candidate bucket (an LSH band group or a prefix-shingle group)."""
-    docs = sorted(pc.unique(g["doc_id"]).to_pylist())
-    pairs = [(a, b) for i, a in enumerate(docs) for b in docs[i + 1 :]]
+    candidate bucket (an LSH band group or a prefix-shingle group),
+    vectorized (triu index pairs over the sorted distinct ids)."""
+    docs = np.sort(pc.unique(g["doc_id"]).to_numpy(zero_copy_only=False))
+    ia, ib = np.triu_indices(len(docs), k=1)
     return pa.table(
         {
-            "doc_a": pa.array([p[0] for p in pairs], pa.int64()),
-            "doc_b": pa.array([p[1] for p in pairs], pa.int64()),
+            "doc_a": pa.array(docs[ia].astype(np.int64)),
+            "doc_b": pa.array(docs[ib].astype(np.int64)),
         }
     )
 
