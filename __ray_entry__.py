@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_broadcast": relational.q_join_broadcast,
         "join_shuffle": relational.q_join_shuffle,
         "intersection": relational.q_intersection,
+        "anti_join": relational.q_anti_join,
         "sample": relational.q_sample,
         "topk": relational.q_topk,
         "count": relational.q_count,
@@ -86,6 +87,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": events.q_asof_join,
         "sessionize": events.q_sessionize,
         "top_users": events.q_top_users,
+        "keep_latest": events.q_keep_latest,
+        "grouped_quantiles": events.q_grouped_quantiles,
         # the north-rule crawl + downstream jobs (rows-only; exact
         # reference-semantics oracles run in tests/)
         "crawl_pages": search_pipeline.q_crawl_pages,
@@ -108,6 +111,7 @@ def oracle_sql() -> dict[str, str]:
         "join_broadcast": relational.SQL_JOIN_BROADCAST,
         "join_shuffle": relational.SQL_JOIN_SHUFFLE,
         "intersection": relational.SQL_INTERSECTION,
+        "anti_join": relational.SQL_ANTI_JOIN,
         "sample": relational.SQL_SAMPLE,
         "topk": relational.SQL_TOPK,
         "count": relational.SQL_COUNT,
@@ -130,4 +134,6 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": events.SQL_ASOF_JOIN,
         "sessionize": events.SQL_SESSIONIZE,
         "top_users": events.SQL_TOP_USERS,
+        "keep_latest": events.SQL_KEEP_LATEST,
+        "grouped_quantiles": events.SQL_GROUPED_QUANTILES,
     }

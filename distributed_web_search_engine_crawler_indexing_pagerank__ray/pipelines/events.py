@@ -424,3 +424,100 @@ GROUP BY user_id
 ORDER BY total_value DESC, user_id
 LIMIT 10
 """
+
+
+# -- keep-latest dedup (newest row per key) -----------------------------------
+
+
+def _latest_per_key(t: pa.Table) -> pa.Table:
+    """Reduce an arrow table to its last (ts, event_id)-ordered row per
+    user_id, fully vectorized (one sort + one run-boundary scan).
+    Arrow-in/arrow-out so `ts` never round-trips through pandas ns."""
+    import numpy as np
+
+    idx = pc.sort_indices(
+        t,
+        sort_keys=[
+            ("user_id", "ascending"),
+            ("ts", "ascending"),
+            ("event_id", "ascending"),
+        ],
+    )
+    t = t.take(idx)
+    users = t["user_id"].to_numpy(zero_copy_only=False)
+    # last position of each user run
+    last = np.flatnonzero(np.diff(users) != 0)
+    keep = np.concatenate([last, [len(users) - 1]]) if len(users) else last
+    return t.take(pa.array(keep, pa.int64()))
+
+
+def q_keep_latest(sf_dir: str):
+    """Newest event per user (max ts, ties broken by max event_id) —
+    the "keep the newest version of each document" dedup every
+    training-data refresh runs.
+
+    Scale shape: a vectorized per-block combiner first reduces each
+    block to ≤ one row per user seen in it, so the groupby that follows
+    shuffles at most |users|·blocks rows instead of the full log; the
+    per-group reduce then picks the global winner.  Both reduces share
+    one arrow kernel (`_latest_per_key`)."""
+    ds = _events(sf_dir, ["user_id", "event_id", "ts", "event_type", "value"])
+    combined = ds.map_batches(_latest_per_key, batch_format="pyarrow")
+    return combined.groupby("user_id").map_groups(
+        _latest_per_key, batch_format="pyarrow"
+    )
+
+
+SQL_KEEP_LATEST = """
+SELECT user_id, event_id, ts, event_type, value
+FROM (
+    SELECT e.*,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events e
+) WHERE rn = 1
+"""
+
+
+# -- exact grouped quantiles ---------------------------------------------------
+
+QUANTILE_QS = (0.5, 0.95)
+
+
+def q_grouped_quantiles(sf_dir: str):
+    """Exact per-group percentiles (p50/p95 of value per event_type),
+    matching DuckDB ``quantile_disc``: the element at 1-based rank
+    ``ceil(q*n)`` of the sorted group (verified empirically — no
+    interpolation, so the result is an exact input element and
+    hash-compares bit-for-bit).
+
+    Exact quantiles inherently co-locate each group's values (one
+    sort-shuffle); event_type has few distinct values, so each group is
+    one numpy sort.  At 100-TB group sizes swap in a mergeable sketch
+    (t-digest / KLL) exactly the way q_approx_distinct_users swaps HLL
+    for count(DISTINCT), or run the classic two-pass bucket-count +
+    single-bucket-scan exact algorithm."""
+    import math as _math
+
+    import numpy as np
+
+    def quant(t: pa.Table) -> pa.Table:
+        v = np.sort(t["value"].to_numpy(zero_copy_only=False))
+        n = len(v)
+        cols = {"event_type": pa.array([t["event_type"][0].as_py()], pa.string())}
+        for q in QUANTILE_QS:
+            i = max(0, _math.ceil(q * n) - 1)
+            cols[f"p{int(q * 100)}"] = pa.array([float(v[i])], pa.float64())
+        return pa.table(cols)
+
+    ds = _events(sf_dir, ["event_type", "value"])
+    return ds.groupby("event_type").map_groups(quant, batch_format="pyarrow")
+
+
+SQL_GROUPED_QUANTILES = """
+SELECT event_type,
+       quantile_disc(value, 0.5)  AS p50,
+       quantile_disc(value, 0.95) AS p95
+FROM events
+GROUP BY event_type
+"""

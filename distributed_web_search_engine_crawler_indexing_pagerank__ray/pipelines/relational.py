@@ -400,3 +400,73 @@ def q_count(sf_dir: str):
 
 
 SQL_COUNT = "SELECT count(*) AS n FROM lineitem"
+
+
+# -- anti join (set difference by key) ----------------------------------------
+
+
+ANTI_PRIORITY = "1-URGENT"
+
+
+def q_anti_join(sf_dir: str):
+    """customer ANTI JOIN orders on custkey — customers with no URGENT
+    order (unfiltered "no orders at all" is empty at every test sf).
+
+    Same bucketed co-group shape as :func:`q_join_shuffle` (both sides
+    scale, so no broadcast); the probe side is filtered then reduced to
+    its per-block DISTINCT keys inside map_batches before the shuffle,
+    so the exchange moves at most |distinct custkeys|·blocks probe
+    rows."""
+    customers = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def tag_cust(t: pa.Table) -> pa.Table:
+        keys = t["c_custkey"]
+        return pa.table(
+            {
+                "bucket": pc.cast(
+                    pc.bit_wise_and(keys, pa.scalar(JOIN_BUCKETS - 1)), pa.int32()
+                ),
+                "key": keys,
+                "side": pa.array(["c"] * t.num_rows, pa.string()),
+                "name": t["c_name"],
+            }
+        )
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        keys = pc.filter(
+            t["o_custkey"], pc.equal(t["o_orderpriority"], ANTI_PRIORITY)
+        )
+        keys = pc.unique(keys)  # per-block combiner
+        n = len(keys)
+        return pa.table(
+            {
+                "bucket": pc.cast(
+                    pc.bit_wise_and(keys, pa.scalar(JOIN_BUCKETS - 1)), pa.int32()
+                ),
+                "key": keys,
+                "side": pa.array(["o"] * n, pa.string()),
+                "name": pa.nulls(n, pa.string()),
+            }
+        )
+
+    tagged = customers.map_batches(tag_cust, batch_format="pyarrow").union(
+        orders.map_batches(tag_orders, batch_format="pyarrow")
+    )
+
+    def anti(g: pa.Table) -> pa.Table:
+        is_probe = pc.equal(g["side"], "o")
+        probe_keys = pc.unique(pc.filter(g["key"], is_probe))
+        cust = g.filter(pc.invert(is_probe))
+        keep = pc.invert(pc.is_in(cust["key"], value_set=probe_keys))
+        out = cust.filter(keep)
+        return pa.table({"c_custkey": out["key"], "c_name": out["name"]})
+
+    return tagged.groupby("bucket").map_groups(anti, batch_format="pyarrow")
+
+
+SQL_ANTI_JOIN = f"""
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN
+      (SELECT o_custkey FROM orders WHERE o_orderpriority = '{ANTI_PRIORITY}')
+"""
