@@ -52,6 +52,9 @@ QUERY_NAMES = [
     "asof_join",
     "approx_distinct_users",
     "text_stats",
+    "anti_join",
+    "keep_latest",
+    "grouped_quantiles",
 ]
 
 

@@ -387,3 +387,51 @@ def test_knn_ivf_fixture_sanity():
     merged = approx.merge(exact, on=["query_id", "vec_id"], suffixes=("_a", "_e"))
     if len(merged):
         assert np.allclose(merged["cos_a"], merged["cos_e"])
+
+
+def test_latest_per_key_kernel_ties_and_edges():
+    """keep_latest's shared reduce kernel: max-ts wins, event_id breaks
+    ts ties, single-row and empty inputs survive."""
+    import pyarrow as pa
+
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines.events import (
+        _latest_per_key,
+    )
+
+    ts = pa.array([100, 200, 200, 50], pa.timestamp("us"))
+    t = pa.table(
+        {
+            "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+            "event_id": pa.array([7, 3, 9, 4], pa.int64()),
+            "ts": ts,
+            "event_type": pa.array(["a", "b", "c", "d"], pa.string()),
+            "value": pa.array([0.1, 0.2, 0.3, 0.4], pa.float64()),
+        }
+    )
+    out = _latest_per_key(t)
+    got = {r["user_id"]: r["event_id"] for r in out.to_pylist()}
+    assert got == {1: 9, 2: 4}  # ts tie at 200 → higher event_id wins
+    assert out.schema.field("ts").type == pa.timestamp("us")
+
+    empty = _latest_per_key(t.slice(0, 0))
+    assert empty.num_rows == 0 and empty.schema == t.schema
+
+
+def test_keep_latest_sql_parity(con):
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines import events
+
+    _assert_matches_sql(events.q_keep_latest(SF), con, events.SQL_KEEP_LATEST)
+
+
+def test_grouped_quantiles_sql_parity(con):
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines import events
+
+    _assert_matches_sql(
+        events.q_grouped_quantiles(SF), con, events.SQL_GROUPED_QUANTILES
+    )
+
+
+def test_anti_join_sql_parity(con):
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines import relational
+
+    _assert_matches_sql(relational.q_anti_join(SF), con, relational.SQL_ANTI_JOIN)
