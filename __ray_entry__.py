@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_shuffle": relational.q_join_shuffle,
         "intersection": relational.q_intersection,
         "anti_join": relational.q_anti_join,
+        "grouped_topk": relational.q_grouped_topk,
         "sample": relational.q_sample,
         "topk": relational.q_topk,
         "count": relational.q_count,
@@ -67,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": textpipe.q_inverted_index,
         "tfidf_docs": textpipe.q_tfidf_docs,
         "quality": textpipe.q_quality,
+        "quality_filter": textpipe.q_quality_filter,
         "text_stats": textpipe.q_text_stats,
         # dedup family (training-data additions)
         "dedup_exact": dedup.q_dedup_exact,
@@ -112,6 +114,7 @@ def oracle_sql() -> dict[str, str]:
         "join_shuffle": relational.SQL_JOIN_SHUFFLE,
         "intersection": relational.SQL_INTERSECTION,
         "anti_join": relational.SQL_ANTI_JOIN,
+        "grouped_topk": relational.SQL_GROUPED_TOPK,
         "sample": relational.SQL_SAMPLE,
         "topk": relational.SQL_TOPK,
         "count": relational.SQL_COUNT,
@@ -119,6 +122,7 @@ def oracle_sql() -> dict[str, str]:
         "inverted_index": textpipe.SQL_INVERTED_INDEX,
         "tfidf_docs": textpipe.SQL_TFIDF_DOCS,
         "quality": textpipe.SQL_QUALITY,
+        "quality_filter": textpipe.SQL_QUALITY_FILTER,
         "text_stats": textpipe.sql_text_stats(),
         "dedup_exact": dedup.SQL_DEDUP_EXACT,
         "dedup_ngram": dedup.SQL_DEDUP_NGRAM,

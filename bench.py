@@ -55,6 +55,8 @@ QUERY_NAMES = [
     "anti_join",
     "keep_latest",
     "grouped_quantiles",
+    "grouped_topk",
+    "quality_filter",
 ]
 
 

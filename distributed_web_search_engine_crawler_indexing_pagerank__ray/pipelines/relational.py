@@ -470,3 +470,57 @@ SELECT c_custkey, c_name FROM customer
 WHERE c_custkey NOT IN
       (SELECT o_custkey FROM orders WHERE o_orderpriority = '{ANTI_PRIORITY}')
 """
+
+
+# -- grouped top-k -------------------------------------------------------------
+
+
+TOPK_PER_GROUP = 3
+
+
+def _topk_per_group(t: pa.Table) -> pa.Table:
+    """≤ k best (totalprice desc, orderkey asc) rows per priority, fully
+    vectorized: one arrow sort + a numpy run-rank scan."""
+    import numpy as np
+
+    idx = pc.sort_indices(
+        t,
+        sort_keys=[
+            ("o_orderpriority", "ascending"),
+            ("o_totalprice", "descending"),
+            ("o_orderkey", "ascending"),
+        ],
+    )
+    t = t.take(idx)
+    pr = np.asarray(t["o_orderpriority"].to_pandas())
+    if len(pr) == 0:
+        return t
+    new = np.concatenate([[True], pr[1:] != pr[:-1]])
+    pos = np.arange(len(pr))
+    run_start = np.maximum.accumulate(np.where(new, pos, 0))
+    rank = pos - run_start
+    return t.take(pa.array(np.flatnonzero(rank < TOPK_PER_GROUP), pa.int64()))
+
+
+def q_grouped_topk(sf_dir: str):
+    """Top-3 orders by totalprice per order priority — grouped top-k
+    with a per-block combiner: each block first reduces to ≤ k rows per
+    priority seen in it, so the groupby shuffles ≤ k·|groups|·blocks
+    rows instead of the full table; the per-group reduce re-applies the
+    same kernel (:func:`_topk_per_group`)."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderkey", "o_totalprice"])
+    combined = ds.map_batches(_topk_per_group, batch_format="pyarrow")
+    return combined.groupby("o_orderpriority").map_groups(
+        _topk_per_group, batch_format="pyarrow"
+    )
+
+
+SQL_GROUPED_TOPK = f"""
+SELECT o_orderpriority, o_orderkey, o_totalprice
+FROM (
+    SELECT o_orderpriority, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rn
+    FROM orders
+) WHERE rn <= {TOPK_PER_GROUP}
+"""

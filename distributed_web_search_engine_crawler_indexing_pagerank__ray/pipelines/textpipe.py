@@ -372,3 +372,70 @@ def q_text_stats(sf_dir: str):
     return _docs(sf_dir).map_batches(
         TextStats, batch_format="pyarrow", batch_size=512, concurrency=2
     )
+
+
+# -- percentile-window quality filter ------------------------------------------
+
+QF_LO, QF_HI = 0.05, 0.95
+
+
+def q_quality_filter(sf_dir: str):
+    """Keep documents whose length sits inside the corpus's
+    [p5, p95] window — outlier trimming before training.
+
+    This is the two-pass exact-quantile algorithm at its 100-TB shape
+    (the scale path q_grouped_quantiles' docstring points to):
+
+    - pass 1: each block reduces to a value→count histogram
+      (``n_chars`` is bounded, so a histogram is kilobytes no matter
+      the corpus size); a distributed groupby-sum merges them and only
+      the ≤|distinct lengths| merged rows reach the driver, which reads
+      the exact rank-``ceil(q·n)`` elements (DuckDB ``quantile_disc``'s
+      rule) off the cumulative counts;
+    - pass 2: the two scalar thresholds broadcast into a vectorized
+      arrow filter.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    ds = _docs(sf_dir, ("doc_id", "n_chars"))
+
+    def hist(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(t["n_chars"].combine_chunks())
+        return pa.table({"v": vc.field("values"), "c": vc.field("counts")})
+
+    merged = (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("c", alias_name="n"))
+        .to_pandas()
+        .sort_values("v")
+    )
+    cum = merged["n"].cumsum().to_numpy()
+    total = int(cum[-1])
+    vals = merged["v"].to_numpy()
+
+    def rank_elem(q: float) -> int:
+        rank = max(1, math.ceil(q * total))  # 1-based, quantile_disc rule
+        return int(vals[int(np.searchsorted(cum, rank))])
+
+    lo, hi = rank_elem(QF_LO), rank_elem(QF_HI)
+
+    def keep(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(t["n_chars"], pa.scalar(lo)),
+            pc.less_equal(t["n_chars"], pa.scalar(hi)),
+        )
+        return t.filter(m)
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+SQL_QUALITY_FILTER = f"""
+WITH b AS (SELECT quantile_disc(n_chars, {QF_LO}) AS lo,
+                  quantile_disc(n_chars, {QF_HI}) AS hi
+           FROM documents)
+SELECT d.doc_id, d.n_chars
+FROM documents d, b
+WHERE d.n_chars BETWEEN b.lo AND b.hi
+"""

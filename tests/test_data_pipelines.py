@@ -435,3 +435,17 @@ def test_anti_join_sql_parity(con):
     from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines import relational
 
     _assert_matches_sql(relational.q_anti_join(SF), con, relational.SQL_ANTI_JOIN)
+
+
+def test_grouped_topk_sql_parity(con):
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines import relational
+
+    _assert_matches_sql(relational.q_grouped_topk(SF), con, relational.SQL_GROUPED_TOPK)
+
+
+def test_quality_filter_sql_parity(con):
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines import textpipe
+
+    _assert_matches_sql(
+        textpipe.q_quality_filter(SF), con, textpipe.SQL_QUALITY_FILTER
+    )
