@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_docs": textpipe.q_tfidf_docs,
         "quality": textpipe.q_quality,
         "quality_filter": textpipe.q_quality_filter,
+        "mixture_sample": textpipe.q_mixture_sample,
         "text_stats": textpipe.q_text_stats,
         # dedup family (training-data additions)
         "dedup_exact": dedup.q_dedup_exact,
@@ -123,6 +124,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_docs": textpipe.SQL_TFIDF_DOCS,
         "quality": textpipe.SQL_QUALITY,
         "quality_filter": textpipe.SQL_QUALITY_FILTER,
+        "mixture_sample": textpipe.SQL_MIXTURE_SAMPLE,
         "text_stats": textpipe.sql_text_stats(),
         "dedup_exact": dedup.SQL_DEDUP_EXACT,
         "dedup_ngram": dedup.SQL_DEDUP_NGRAM,

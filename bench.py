@@ -57,6 +57,7 @@ QUERY_NAMES = [
     "grouped_quantiles",
     "grouped_topk",
     "quality_filter",
+    "mixture_sample",
 ]
 
 

@@ -439,3 +439,61 @@ SELECT d.doc_id, d.n_chars
 FROM documents d, b
 WHERE d.n_chars BETWEEN b.lo AND b.hi
 """
+
+
+# -- weighted mixture sampling --------------------------------------------------
+
+MIX_CYCLE = 4  # demo weights: source srcN gets rate (N % 4 + 1) / 4
+
+
+def q_mixture_sample(sf_dir: str):
+    """Weighted mixture sampling — the data-mixing step of a training
+    run: each source is downsampled to its own rate.  Decisions are
+    per-row deterministic and seedless (the Knuth multiplicative-hash
+    permutation of ``doc_id``, same rule as ``relational.q_sample``),
+    so reruns and the SQL oracle pick the identical row set.
+
+    Scale shape: the rate table is the SMALL side (one row per source)
+    — built once from a distributed ``unique`` and broadcast via
+    ``ray.put``; the per-batch keep test is a vectorized
+    ``index_in``-coded threshold lookup + one numpy compare, never a
+    shuffle.  The demo derives each rate from the source name; a real
+    pipeline passes its mixture-weights config instead.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    M32 = np.uint64(0xFFFFFFFF)
+    A = np.uint64(2654435761)
+
+    ds = _docs(sf_dir, ("doc_id", "source"))
+    srcs = sorted(set(ds.unique("source")))
+    rates = [((int(s[3:]) % MIX_CYCLE) + 1) / MIX_CYCLE for s in srcs]
+    thresholds = np.array([int(r * (1 << 32)) for r in rates], np.uint64)
+    small = ray.put((pa.array(srcs, pa.string()), thresholds))
+
+    def keep(t: pa.Table) -> pa.Table:
+        src_arr, thr = ray.get(small)
+        keys = t["doc_id"].to_numpy().astype(np.uint64)
+        h = ((keys & M32) * A) & M32
+        codes = pc.index_in(t["source"], value_set=src_arr).to_numpy(
+            zero_copy_only=False
+        )
+        return t.filter(pa.array(h < thr[codes.astype(np.int64)]))
+
+    return (
+        ds.map_batches(keep, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Count(alias_name="n_sampled"))
+    )
+
+
+SQL_MIXTURE_SAMPLE = f"""
+SELECT source, count(*) AS n_sampled
+FROM documents
+WHERE ((doc_id % 4294967296)::HUGEINT * 2654435761) % 4294967296
+      < ((CAST(substr(source, 4, 10) AS INT) % {MIX_CYCLE}) + 1)::HUGEINT
+        * {(1 << 32) // MIX_CYCLE}
+GROUP BY source
+"""

@@ -449,3 +449,11 @@ def test_quality_filter_sql_parity(con):
     _assert_matches_sql(
         textpipe.q_quality_filter(SF), con, textpipe.SQL_QUALITY_FILTER
     )
+
+
+def test_mixture_sample_sql_parity(con):
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines import textpipe
+
+    _assert_matches_sql(
+        textpipe.q_mixture_sample(SF), con, textpipe.SQL_MIXTURE_SAMPLE
+    )
