@@ -159,6 +159,20 @@ def run_bench() -> dict:
         "pages": pages,
         "url_attempts": attempts,
         "waves": len(eng.waves),
+        # per-partition lineage counts (BASELINE.md §4): one entry per
+        # BFS wave = one output partition directory (wave=K/)
+        "per_wave": [
+            {
+                "wave": i,
+                "attempted": w["attempted"],
+                "enqueued": w["enqueued"],
+                "visited_added": w["visited_added"],
+                "throttled": w["throttled"],
+                "queue_size": w["queue_size"],
+                "wall_sec": w["t_wall"],
+            }
+            for i, w in enumerate(eng.waves)
+        ],
         "pages_per_sec": round(pages / crawl_wall, 2),
         "attempts_per_sec": round(attempts / crawl_wall, 2),
     }
