@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_tumbling": events.q_window_tumbling,
         "window_sliding": events.q_window_sliding,
         "asof_join": events.q_asof_join,
+        "range_join": events.q_range_join,
         "sessionize": events.q_sessionize,
         "top_users": events.q_top_users,
         "keep_latest": events.q_keep_latest,
@@ -138,6 +139,7 @@ def oracle_sql() -> dict[str, str]:
         "window_tumbling": events.SQL_WINDOW_TUMBLING,
         "window_sliding": events.SQL_WINDOW_SLIDING,
         "asof_join": events.SQL_ASOF_JOIN,
+        "range_join": events.SQL_RANGE_JOIN,
         "sessionize": events.SQL_SESSIONIZE,
         "top_users": events.SQL_TOP_USERS,
         "keep_latest": events.SQL_KEEP_LATEST,

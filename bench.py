@@ -58,6 +58,7 @@ QUERY_NAMES = [
     "grouped_topk",
     "quality_filter",
     "mixture_sample",
+    "range_join",
 ]
 
 

@@ -426,6 +426,77 @@ LIMIT 10
 """
 
 
+# -- range join (time-window self join) ---------------------------------------
+
+RANGE_WINDOW_MIN = 5
+
+
+def q_range_join(sf_dir: str):
+    """click→purchase funnel: pairs of events of the same user where a
+    purchase follows a click within {RANGE_WINDOW_MIN} minutes — the
+    time-window range join (the third of the custom join family next to
+    the as-of join and the windowed aggregates).
+
+    Pattern: both sides pre-filtered to their event type at the read
+    (so only funnel rows shuffle), co-bucketed by user-id hash with one
+    groupby over the tagged union (same shape as :func:`q_asof_join`),
+    and inside each group one vectorized pandas equi-merge on the user
+    plus a window filter.  At scale, a user whose history outgrows a
+    group gets time-bucketed on top of the key hash (join on
+    (user, coarse time bucket) with each left row probing its own and
+    the next bucket)."""
+    import pandas as pd
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+    NB = 32
+
+    def tag(kind: str, typ: str):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["event_type"], typ))
+            k = pc.cast(t["user_id"], pa.int64())
+            return pa.table(
+                {
+                    "bucket": pc.cast(
+                        pc.bit_wise_and(k, pa.scalar(NB - 1)), pa.int32()
+                    ),
+                    "key": k,
+                    "side": pa.array([kind] * t.num_rows, pa.string()),
+                    "event_id": t["event_id"],
+                    "ts": t["ts"],
+                }
+            )
+
+        return fn
+
+    tagged = ev.map_batches(tag("c", "click"), batch_format="pyarrow").union(
+        ev.map_batches(tag("p", "purchase"), batch_format="pyarrow")
+    )
+
+    def join_window(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        c = df[df["side"] == "c"][["key", "event_id", "ts"]]
+        p = df[df["side"] == "p"][["key", "event_id", "ts"]]
+        m = c.merge(p, on="key", suffixes=("_c", "_p"))
+        dt = m["ts_p"] - m["ts_c"]
+        m = m[(dt > pd.Timedelta(0)) & (dt <= pd.Timedelta(minutes=RANGE_WINDOW_MIN))]
+        return pa.table(
+            {
+                "click_id": pa.array(m["event_id_c"].to_numpy(dtype="int64")),
+                "purchase_id": pa.array(m["event_id_p"].to_numpy(dtype="int64")),
+            }
+        )
+
+    return tagged.groupby("bucket").map_groups(join_window, batch_format="pyarrow")
+
+
+SQL_RANGE_JOIN = f"""
+SELECT a.event_id AS click_id, b.event_id AS purchase_id
+FROM events a JOIN events b ON a.user_id = b.user_id
+WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+  AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL {RANGE_WINDOW_MIN} MINUTE
+"""
+
+
 # -- keep-latest dedup (newest row per key) -----------------------------------
 
 

@@ -457,3 +457,9 @@ def test_mixture_sample_sql_parity(con):
     _assert_matches_sql(
         textpipe.q_mixture_sample(SF), con, textpipe.SQL_MIXTURE_SAMPLE
     )
+
+
+def test_range_join_sql_parity(con):
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines import events
+
+    _assert_matches_sql(events.q_range_join(SF), con, events.SQL_RANGE_JOIN)
