@@ -205,3 +205,108 @@ def test_text_corpus_non_ascii_falls_back_to_tuple():
 
     fb = TextCorpus.from_arrow(pa.array(["héllo wörld", "ok"]))
     assert isinstance(fb, tuple) and fb[0] == "héllo wörld"
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 5),            # user/group key
+            st.integers(0, 10**6),        # event_id / orderkey
+            st.integers(0, 50),           # ts / price rank source
+        ),
+        min_size=0,
+        max_size=60,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_latest_per_key_matches_bruteforce(rows):
+    import pandas as pd
+    import pyarrow as pa
+
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines.events import (
+        _latest_per_key,
+    )
+
+    # event_id must be unique (it is in the events table; it's the tiebreaker)
+    seen, uniq = set(), []
+    for k, e, t in rows:
+        if e not in seen:
+            seen.add(e)
+            uniq.append((k, e, t))
+    t = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in uniq], pa.int64()),
+            "event_id": pa.array([r[1] for r in uniq], pa.int64()),
+            "ts": pa.array([r[2] for r in uniq], pa.timestamp("us")),
+            "event_type": pa.array(["x"] * len(uniq), pa.string()),
+            "value": pa.array([0.0] * len(uniq), pa.float64()),
+        }
+    )
+    got = _latest_per_key(t).to_pandas().sort_values("user_id").reset_index(drop=True)
+    df = t.to_pandas()
+    want = (
+        df.sort_values(["ts", "event_id"])
+        .groupby("user_id", as_index=False)
+        .last()
+        .sort_values("user_id")
+        .reset_index(drop=True)[got.columns]
+        if len(df)
+        else got
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),  # priority
+            st.integers(0, 10**6),             # orderkey
+            st.floats(0, 1000),                # totalprice
+        ),
+        min_size=0,
+        max_size=60,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_topk_per_group_matches_bruteforce(rows):
+    import pandas as pd
+    import pyarrow as pa
+
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines.relational import (
+        TOPK_PER_GROUP,
+        _topk_per_group,
+    )
+
+    seen, uniq = set(), []
+    for p, k, v in rows:
+        if k not in seen:
+            seen.add(k)
+            uniq.append((p, k, v))
+    t = pa.table(
+        {
+            "o_orderpriority": pa.array([r[0] for r in uniq], pa.string()),
+            "o_orderkey": pa.array([r[1] for r in uniq], pa.int64()),
+            "o_totalprice": pa.array([r[2] for r in uniq], pa.float64()),
+        }
+    )
+    got = (
+        _topk_per_group(t)
+        .to_pandas()
+        .sort_values(["o_orderpriority", "o_orderkey"])
+        .reset_index(drop=True)
+    )
+    df = t.to_pandas()
+    if len(df):
+        want = (
+            df.sort_values(
+                ["o_orderpriority", "o_totalprice", "o_orderkey"],
+                ascending=[True, False, True],
+            )
+            .groupby("o_orderpriority", as_index=False)
+            .head(TOPK_PER_GROUP)
+            .sort_values(["o_orderpriority", "o_orderkey"])
+            .reset_index(drop=True)
+        )
+    else:
+        want = got
+    pd.testing.assert_frame_equal(got, want)
