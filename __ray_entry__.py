@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users": events.q_approx_distinct_users,
         "window_tumbling": events.q_window_tumbling,
         "window_sliding": events.q_window_sliding,
+        "window_late_data": events.q_window_late_data,
         "asof_join": events.q_asof_join,
         "range_join": events.q_range_join,
         "sessionize": events.q_sessionize,
@@ -138,6 +139,7 @@ def oracle_sql() -> dict[str, str]:
         "approx_distinct_users": events.sql_approx_distinct_users(),
         "window_tumbling": events.SQL_WINDOW_TUMBLING,
         "window_sliding": events.SQL_WINDOW_SLIDING,
+        "window_late_data": events.SQL_WINDOW_LATE_DATA,
         "asof_join": events.SQL_ASOF_JOIN,
         "range_join": events.SQL_RANGE_JOIN,
         "sessionize": events.SQL_SESSIONIZE,

@@ -59,6 +59,7 @@ QUERY_NAMES = [
     "quality_filter",
     "mixture_sample",
     "range_join",
+    "window_late_data",
 ]
 
 

@@ -592,3 +592,164 @@ SELECT event_type,
 FROM events
 GROUP BY event_type
 """
+
+
+# -- late-data tumbling window (watermark semantics) ---------------------------
+
+LATE_DELAY_S = 7200     # simulated network delay: knuth(event_id) % 2 h
+LATE_ALLOWED_S = 1800   # watermark lateness: 30 min
+_KNUTH = 2654435761
+
+
+def q_window_late_data(sf_dir: str):
+    """1-hour tumbling counts over an OUT-OF-ORDER stream with a
+    watermark: each event arrives at ``ts + delay`` (delay = Knuth hash
+    of event_id mod 2 h — a deterministic stand-in for network jitter,
+    so reruns and the SQL oracle see the identical stream); the
+    watermark trails the maximum event-time seen so far in ARRIVAL
+    order by 30 min, and rows arriving behind it are dropped — the
+    streaming late-data rule.
+
+    Distributed shape — a prefix scan, not a global sort: arrival time
+    range-partitions the stream (partition = arrival hour, so the
+    partition index IS arrival order).  Phase 1 reduces each partition
+    to one max-event-ts scalar; the driver prefix-maxes those ≤
+    |arrival hours| scalars (kilobytes at any corpus size) and
+    broadcasts them.  Phase 2 re-walks each partition seeded with its
+    predecessors' prefix — in-partition running max + the late filter
+    are one vectorized numpy pass — and emits pre-aggregated
+    (event_type, window) partials; a final small groupby sums them.
+    A hotter stream shrinks the partition to a minute without touching
+    the prefix table's scale story."""
+    import numpy as np
+
+    US = np.int64(1_000_000)
+    HOUR_US = np.int64(3_600) * US
+    late_us = np.int64(LATE_ALLOWED_S) * US
+    M32 = np.uint64(0xFFFFFFFF)
+
+    def arrival(t: pa.Table):
+        ts_us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        delay_s = ((eid & M32) * np.uint64(_KNUTH)) & M32
+        delay_us = (delay_s % np.uint64(LATE_DELAY_S)).astype(np.int64) * US
+        arr_us = ts_us + delay_us
+        return ts_us, arr_us
+
+    ds = _events(sf_dir, ["event_id", "ts", "event_type"])
+
+    # phase 1: per-partition (arrival hour) max event-ts, merged small
+    def bucket_max(t: pa.Table) -> pa.Table:
+        ts_us, arr_us = arrival(t)
+        b = arr_us // HOUR_US
+        order = np.argsort(b, kind="stable")
+        bs, ts_s = b[order], ts_us[order]
+        starts = np.concatenate([[0], np.flatnonzero(bs[1:] != bs[:-1]) + 1])
+        return pa.table(
+            {
+                "bucket": pa.array(bs[starts], pa.int64()),
+                "max_ts": pa.array(np.maximum.reduceat(ts_s, starts), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Max, Sum
+
+    bm = (
+        ds.map_batches(bucket_max, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Max("max_ts", alias_name="max_ts"))
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    buckets = bm["bucket"].to_numpy()
+    # exclusive prefix max over arrival-ordered partitions
+    prefix = np.concatenate(
+        [[np.int64(-(1 << 62))], np.maximum.accumulate(bm["max_ts"].to_numpy())[:-1]]
+    )
+    small = ray.put((buckets, prefix))
+
+    def tag_bucket(t: pa.Table) -> pa.Table:
+        _, arr_us = arrival(t)
+        return t.append_column(
+            "bucket", pa.array(arr_us // HOUR_US, pa.int64())
+        )
+
+    def walk(g: pa.Table) -> pa.Table:
+        bkts, pref = ray.get(small)
+        ts_us, arr_us = arrival(g)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, arr_us))  # arrival order, event_id ties
+        ts_o = ts_us[order]
+        seed = pref[np.searchsorted(bkts, int(arr_us[order[0]] // HOUR_US))]
+        wm = np.maximum.accumulate(np.maximum(ts_o, seed))
+        keep = ts_o >= wm - late_us
+        kept = g.take(pa.array(order[keep], pa.int64()))
+        win = pc.cast(
+            pc.floor_temporal(kept["ts"], unit="hour"), pa.timestamp("us")
+        )
+        part = pa.table({"event_type": kept["event_type"], "window_start": win})
+        idx = pc.sort_indices(
+            part,
+            sort_keys=[("event_type", "ascending"), ("window_start", "ascending")],
+        )
+        part = part.take(idx)
+        et = np.asarray(part["event_type"].to_pandas())
+        ws = part["window_start"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if len(et) == 0:
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "window_start": pa.array([], pa.timestamp("us")),
+                    "n_on_time": pa.array([], pa.int64()),
+                }
+            )
+        new = np.concatenate(
+            [[True], (et[1:] != et[:-1]) | (ws[1:] != ws[:-1])]
+        )
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.concatenate([starts, [len(et)]]))
+        sel = part.take(pa.array(starts, pa.int64()))
+        return pa.table(
+            {
+                "event_type": sel["event_type"],
+                "window_start": sel["window_start"],
+                "n_on_time": pa.array(counts, pa.int64()),
+            }
+        )
+
+    partials = (
+        ds.map_batches(tag_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(walk, batch_format="pyarrow")
+    )
+    out = partials.groupby(["event_type", "window_start"]).aggregate(
+        Sum("n_on_time", alias_name="n_on_time")
+    )
+
+    def recast(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("window_start"),
+            "window_start",
+            pc.cast(t["window_start"], pa.timestamp("us")),
+        )
+
+    return out.map_batches(recast, batch_format="pyarrow")
+
+
+SQL_WINDOW_LATE_DATA = f"""
+WITH a AS (
+    SELECT *,
+           ts + (((event_id % 4294967296)::HUGEINT * {_KNUTH})
+                 % 4294967296 % {LATE_DELAY_S})::BIGINT
+                * INTERVAL 1 SECOND AS arrival_ts
+    FROM events),
+w AS (
+    SELECT *, max(ts) OVER (ORDER BY arrival_ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS wm
+    FROM a)
+SELECT event_type, date_trunc('hour', ts) AS window_start,
+       count(*) AS n_on_time
+FROM w
+WHERE ts >= wm - INTERVAL {LATE_ALLOWED_S} SECOND
+GROUP BY event_type, date_trunc('hour', ts)
+"""

@@ -463,3 +463,11 @@ def test_range_join_sql_parity(con):
     from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines import events
 
     _assert_matches_sql(events.q_range_join(SF), con, events.SQL_RANGE_JOIN)
+
+
+def test_window_late_data_sql_parity(con):
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines import events
+
+    _assert_matches_sql(
+        events.q_window_late_data(SF), con, events.SQL_WINDOW_LATE_DATA
+    )
