@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality": textpipe.q_quality,
         "quality_filter": textpipe.q_quality_filter,
         "mixture_sample": textpipe.q_mixture_sample,
+        "top_tokens": textpipe.q_top_tokens,
         "text_stats": textpipe.q_text_stats,
         # dedup family (training-data additions)
         "dedup_exact": dedup.q_dedup_exact,
@@ -127,6 +128,7 @@ def oracle_sql() -> dict[str, str]:
         "quality": textpipe.SQL_QUALITY,
         "quality_filter": textpipe.SQL_QUALITY_FILTER,
         "mixture_sample": textpipe.SQL_MIXTURE_SAMPLE,
+        "top_tokens": textpipe.SQL_TOP_TOKENS,
         "text_stats": textpipe.sql_text_stats(),
         "dedup_exact": dedup.SQL_DEDUP_EXACT,
         "dedup_ngram": dedup.SQL_DEDUP_NGRAM,

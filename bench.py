@@ -60,6 +60,7 @@ QUERY_NAMES = [
     "mixture_sample",
     "range_join",
     "window_late_data",
+    "top_tokens",
 ]
 
 

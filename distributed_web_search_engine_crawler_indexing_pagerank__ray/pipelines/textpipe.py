@@ -497,3 +497,116 @@ WHERE ((doc_id % 4294967296)::HUGEINT * 2654435761) % 4294967296
         * {(1 << 32) // MIX_CYCLE}
 GROUP BY source
 """
+
+
+# -- heavy-hitter top tokens (Misra-Gries sketch + exact verify pass) ----------
+
+HH_K = 256   # sketch counters per block
+HH_TOP = 25  # exact top-k returned
+
+
+def _misra_gries(counts: dict, k: int) -> dict:
+    """Reduce a word→count map to ≤ k Misra-Gries counters.  Guarantee:
+    any word with true weight > total/(k+1) keeps a counter."""
+    mg: dict = {}
+    for w, c in counts.items():
+        if w in mg:
+            mg[w] += c
+        elif len(mg) < k:
+            mg[w] = c
+        else:
+            d = min(min(mg.values()), c)
+            mg = {x: n - d for x, n in mg.items() if n > d}
+            if c > d:
+                mg[w] = c - d
+    return mg
+
+
+def q_top_tokens(sf_dir: str):
+    """Exact top-{HH_TOP} tokens by corpus frequency WITHOUT shuffling
+    the vocabulary — the two-pass heavy-hitter pattern for 100-TB
+    wordcounts:
+
+    - pass 1: each block reduces its token counts to a {HH_K}-counter
+      Misra-Gries sketch (kilobytes); the sketches merge on the driver
+      (MG merge = add + re-prune, still a valid sketch of the union).
+      Any token with true count > N/({HH_K}+1) is guaranteed to
+      survive as a candidate.
+    - pass 2: exact counts for the ≤ {HH_K} candidate tokens only
+      (broadcast set, per-block filtered partial counts, one tiny
+      groupby), then exact top-{HH_TOP} with (count desc, word asc)
+      tie-break.
+
+    The result is exact — not approximate — whenever the {HH_TOP}-th
+    true count clears the sketch's survival bound; the query CHECKS
+    that bound against the exact candidate counts and raises rather
+    than silently returning a wrong set (on Zipf-shaped text the bound
+    holds by orders of magnitude)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def sketch(t: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        total = 0
+        for text in t["text"].to_pylist():
+            for w, c in word_counts(text or "").items():
+                counts[w] = counts.get(w, 0) + c
+                total += c
+        mg = _misra_gries(counts, HH_K)
+        return pa.table(
+            {
+                "word": pa.array(list(mg.keys()), pa.string()),
+                "c": pa.array(list(mg.values()), pa.int64()),
+                "total": pa.array([total] + [0] * (len(mg) - 1), pa.int64())
+                if mg
+                else pa.array([], pa.int64()),
+            }
+        )
+
+    ds = _docs(sf_dir)
+    parts = ds.map_batches(sketch, batch_format="pyarrow").to_pandas()
+    n_total = int(parts["total"].sum())
+    merged = _misra_gries(
+        parts.groupby("word")["c"].sum().to_dict(), HH_K
+    )
+    cand = pa.array(sorted(merged), pa.string())
+    cand_ref = ray.put(cand)
+
+    def exact_counts(t: pa.Table) -> pa.Table:
+        cset = set(ray.get(cand_ref).to_pylist())
+        counts: dict[str, int] = {}
+        for text in t["text"].to_pylist():
+            for w, c in word_counts(text or "").items():
+                if w in cset:
+                    counts[w] = counts.get(w, 0) + c
+        return pa.table(
+            {
+                "word": pa.array(list(counts.keys()), pa.string()),
+                "c": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    exact = (
+        ds.map_batches(exact_counts, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("c", alias_name="cnt"))
+        .sort(["cnt", "word"], descending=[True, False])
+        .limit(HH_TOP)
+        .to_pandas()
+    )
+    bound = n_total / (HH_K + 1)
+    if len(exact) == HH_TOP and int(exact["cnt"].min()) <= bound:
+        raise RuntimeError(
+            f"top_tokens: {HH_TOP}-th count {int(exact['cnt'].min())} is "
+            f"below the Misra-Gries survival bound {bound:.0f}; raise HH_K"
+        )
+    return pa.Table.from_pandas(exact, preserve_index=False)
+
+
+SQL_TOP_TOKENS = f"""
+SELECT word, count(*) AS cnt
+FROM ({SQL_TOK})
+GROUP BY word
+ORDER BY cnt DESC, word
+LIMIT {HH_TOP}
+"""

@@ -471,3 +471,28 @@ def test_window_late_data_sql_parity(con):
     _assert_matches_sql(
         events.q_window_late_data(SF), con, events.SQL_WINDOW_LATE_DATA
     )
+
+
+def test_top_tokens_sql_parity(con):
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines import textpipe
+
+    _assert_matches_sql(textpipe.q_top_tokens(SF), con, textpipe.SQL_TOP_TOKENS)
+
+
+def test_misra_gries_survival_guarantee():
+    """Any item with true count > total/(k+1) keeps a counter, for an
+    adversarial long-tail stream."""
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines.textpipe import (
+        _misra_gries,
+    )
+
+    counts = {f"t{i}": 1 for i in range(5000)}
+    counts["hot"] = 400
+    counts["warm"] = 90
+    total = sum(counts.values())
+    k = 64
+    mg = _misra_gries(counts, k)
+    assert len(mg) <= k
+    for w, c in counts.items():
+        if c > total / (k + 1):
+            assert w in mg, (w, c, total / (k + 1))
