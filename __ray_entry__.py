@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": similarity.q_knn_bruteforce,
         "knn_lsh": similarity.q_knn_lsh,
         "knn_ivf": similarity.q_knn_ivf,
+        "embedding_stats": similarity.q_embedding_stats,
         # stream-shaped
         "approx_distinct_users": events.q_approx_distinct_users,
         "window_tumbling": events.q_window_tumbling,
@@ -138,6 +139,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": dedup.SQL_DEDUP_EMBEDDING,
         "dedup_embedding_lsh": dedup.sql_dedup_embedding_lsh(),
         "knn_bruteforce": similarity.sql_knn_bruteforce(),
+        "embedding_stats": similarity.SQL_EMBEDDING_STATS,
         "approx_distinct_users": events.sql_approx_distinct_users(),
         "window_tumbling": events.SQL_WINDOW_TUMBLING,
         "window_sliding": events.SQL_WINDOW_SLIDING,

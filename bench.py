@@ -61,6 +61,7 @@ QUERY_NAMES = [
     "range_join",
     "window_late_data",
     "top_tokens",
+    "embedding_stats",
 ]
 
 

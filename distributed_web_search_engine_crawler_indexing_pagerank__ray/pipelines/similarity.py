@@ -382,3 +382,85 @@ def q_knn_ivf(sf_dir: str):
              "cos": pd.Series(dtype="float64")}
         )
     return _score_candidate_ids(sf_dir, cand_ids, qids, qmat)
+
+
+# -- per-dimension embedding statistics (dense partial-sum reduce) -------------
+
+EMB_GRID = 1_000_000  # 1e-6 quantization grid for order-exact integer sums
+
+
+def q_embedding_stats(sf_dir: str):
+    """Per-dimension mean/std of the embedding column — the
+    normalization statistics a feature-scaling step computes before
+    training, in the dense partial-sum (grammian) reduce shape: each
+    block reduces to three fixed-size integer vectors (count, per-dim
+    sum, per-dim sum of squares over a 1e-6 grid), so the merge is
+    ≤ blocks·(2·dim+1) integers on the driver and NO float is ever
+    summed across tasks — integer partials make the result independent
+    of merge order, which is what lets the SQL oracle match bit for
+    bit (a float sum would drift with DuckDB's aggregation order).
+    Values are quantized with floor(x·grid + 0.5) on BOTH sides."""
+    ds = _emb(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        la = t["embedding"].combine_chunks()
+        dim = len(la[0]) if len(la) else 0
+        x = la.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        xq = np.floor(x * EMB_GRID + 0.5).astype(np.int64).reshape(-1, dim)
+        return pa.table(
+            {
+                "pos": pa.array(np.arange(1, dim + 1, dtype=np.int64)),
+                "n": pa.array(np.full(dim, xq.shape[0], dtype=np.int64)),
+                "s": pa.array(xq.sum(axis=0)),
+                "ss": pa.array((xq * xq).sum(axis=0)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    m = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("pos")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("s", alias_name="s"),
+            Sum("ss", alias_name="ss"),
+        )
+        .to_pandas()
+        .sort_values("pos")
+    )
+    n = m["n"].to_numpy().astype(np.float64)
+    mean = m["s"].to_numpy() / EMB_GRID / n
+    var = m["ss"].to_numpy() / (EMB_GRID * EMB_GRID * 1.0) / n - mean * mean
+
+    def r6(v: np.ndarray) -> np.ndarray:
+        # floor(v·1e6 + 0.5)/1e6 on BOTH sides: one deterministic
+        # rounding rule (numpy round is banker's, SQL round is
+        # half-away — either alone could flip a boundary value)
+        return np.floor(v * 1e6 + 0.5) / 1e6
+
+    return pa.table(
+        {
+            "pos": pa.array(m["pos"].to_numpy(), pa.int64()),
+            "mean": pa.array(r6(mean), pa.float64()),
+            "std": pa.array(r6(np.sqrt(var)), pa.float64()),
+        }
+    )
+
+
+SQL_EMBEDDING_STATS = f"""
+WITH q AS (
+  SELECT unnest(range(1, len(embedding) + 1)) AS pos,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {EMB_GRID} + 0.5)
+              AS BIGINT) AS xq
+  FROM embeddings),
+agg AS (
+  SELECT pos,
+         sum(xq) / {EMB_GRID}.0 / count(*) AS mean_raw,
+         sum(xq * xq) / ({EMB_GRID}.0 * {EMB_GRID}.0) / count(*) AS msq
+  FROM q GROUP BY pos)
+SELECT pos,
+       floor(mean_raw * 1e6 + 0.5) / 1e6 AS mean,
+       floor(sqrt(msq - mean_raw * mean_raw) * 1e6 + 0.5) / 1e6 AS std
+FROM agg
+"""

@@ -496,3 +496,11 @@ def test_misra_gries_survival_guarantee():
     for w, c in counts.items():
         if c > total / (k + 1):
             assert w in mg, (w, c, total / (k + 1))
+
+
+def test_embedding_stats_sql_parity(con):
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines import similarity
+
+    _assert_matches_sql(
+        similarity.q_embedding_stats(SF), con, similarity.SQL_EMBEDDING_STATS
+    )
