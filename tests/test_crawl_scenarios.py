@@ -97,3 +97,42 @@ def test_reference_mode_crawls_private_paths(ray_session):
     o = CrawlOracle(SyntheticWeb(cfg), params)
     o.run()
     assert any("/private/" in u for u in (r["url"] for r in o.crawl.values()))
+
+
+@pytest.mark.slow
+def test_randomized_conformance_fuzz(ray_session):
+    """Seeded random sweep over the config space (host counts, skew,
+    link fan-out, caps, seed counts, wave budgets, block sizes): the
+    engine must equal the oracle on seen set, queue set, page count,
+    host counts, and per-wave attempt counts for EVERY draw — the
+    property form of the north rule's "same seeds + politeness budget
+    reproduces the crawl exactly"."""
+    import random
+
+    rng = random.Random(20260817)
+    for trial in range(6):
+        cfg = WebConfig(
+            n_docs=rng.randrange(150, 500),
+            n_hosts=rng.randrange(3, 24),
+            seed=rng.randrange(1, 10_000),
+            links_per_doc=rng.randrange(2, 7),
+            zipf_s=rng.choice([0.3, 0.8, 1.1, 1.6]),
+        )
+        params = CrawlParams(
+            target_pages=rng.randrange(60, 400),
+            max_pages_per_host=rng.choice([3, 10, 500]),
+            max_waves=rng.randrange(4, 12),
+            n_seeds=rng.randrange(2, 10),
+        )
+        o, eng = run_pair(
+            cfg, params, fetch_batch_size=rng.choice([8, 32, 128])
+        )
+        ctx = (trial, cfg, params)
+        assert eng.seen_set() == o.visited, ctx
+        assert eng.queue_set() == o.queue, ctx
+        assert eng.pages_total == len(o.crawl), ctx
+        counts = {k: v for k, v in eng.summary()["host_counts"].items() if v}
+        assert counts == o.host_counts, ctx
+        assert [w["attempted"] for w in eng.waves] == [
+            len(w.attempted) for w in o.waves
+        ], ctx
