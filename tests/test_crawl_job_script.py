@@ -49,3 +49,29 @@ def test_job_script_resume(tmp_path):
     assert got["pages"] == expect["pages"]
     assert got["visited"] == expect["visited"]
     assert got["queue"] == expect["queue"]
+
+
+DATAPREP = os.path.join(REPO, "scripts", "dataprep_job.py")
+
+
+def test_dataprep_job_script_end_to_end_and_skip(tmp_path):
+    """The composed training-data prep job runs in a fresh process,
+    writes one parquet dir per source, and skips finished partitions
+    on a re-run (resumable-output discipline)."""
+    out_dir = str(tmp_path / "prep")
+    env = dict(os.environ, RAY_GRAFT_CPUS="4")
+    cmd = [sys.executable, DATAPREP, "--out-dir", out_dir,
+           "--num-cpus", "4"]
+    r1 = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                        timeout=300)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    s1 = json.loads(r1.stdout.strip().splitlines()[-1])
+    assert s1["rows_out"] > 0 and s1["partitions_written"] > 0
+    assert all(d.startswith("source=") for d in os.listdir(out_dir))
+
+    r2 = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                        timeout=300)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    s2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert s2["partitions_written"] == 0
+    assert s2["partitions_skipped"] == s1["partitions_written"]
