@@ -139,6 +139,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": dedup.SQL_DEDUP_EMBEDDING,
         "dedup_embedding_lsh": dedup.sql_dedup_embedding_lsh(),
         "knn_bruteforce": similarity.sql_knn_bruteforce(),
+        "knn_lsh": similarity.sql_knn_lsh(),
         "embedding_stats": similarity.SQL_EMBEDDING_STATS,
         "approx_distinct_users": events.sql_approx_distinct_users(),
         "window_tumbling": events.SQL_WINDOW_TUMBLING,

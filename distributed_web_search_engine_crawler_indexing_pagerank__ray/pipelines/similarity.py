@@ -1,8 +1,14 @@
 """Similarity search over the `embeddings` table.
 
 Brute-force cosine top-k as the baseline (numpy matmul per batch
-against a broadcast query matrix) and an LSH-bucketed variant as the
-scale path (task spec: ANN over a ``list<float>`` column).
+against a broadcast query matrix) and LSH / IVF bucketed variants as
+the scale paths (task spec: ANN over a ``list<float>`` column).
+
+No stage here materializes the embeddings table on the driver: the
+query set and the IVF training sample are selected by a DISTRIBUTED
+bottom-n pass over a vec_id-only column-pruned read (per-batch partial
+bottom-n, driver merges ``batches x n`` id/key pairs), and only the
+selected rows are then fetched by one ``pc.is_in`` filter pass.
 """
 
 from __future__ import annotations
@@ -10,6 +16,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -25,17 +32,75 @@ def _emb(sf_dir: str):
     )
 
 
-def _query_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
-    import pyarrow.parquet as pq
-
-    t = pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+def _stack_embeddings(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(vec_id int64[n], embedding float64[n, dim]) from an Arrow batch
+    — zero-copy flatten of the list column (no per-row to_pylist)."""
+    ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    la = t["embedding"].combine_chunks()
+    if len(la) == 0:
+        return ids, np.zeros((0, 0), dtype=np.float64)
+    dim = len(la[0])
+    m = (
+        la.flatten()
+        .to_numpy(zero_copy_only=False)
+        .astype(np.float64)
+        .reshape(len(la), dim)
     )
-    df = t.to_pandas().sort_values("vec_id").head(N_QUERIES)
+    return ids, m
+
+
+def _knuth_hash(ids: np.ndarray) -> np.ndarray:
+    """Deterministic 32-bit multiplicative hash (sampling key)."""
+    return (
+        (ids.astype(np.uint64) * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)
+    ).astype(np.int64)
+
+
+def _bottom_ids(sf_dir: str, n: int, by_hash: bool = False) -> np.ndarray:
+    """Distributed bottom-n vec_id selection over a vec_id-ONLY
+    column-pruned read: each batch emits its local bottom-n (key,
+    vec_id) pairs, the driver merges ``batches x n`` 16-byte pairs —
+    never the table.  ``by_hash=True`` keys by a deterministic hash of
+    vec_id, i.e. a uniform without-replacement sample of size n."""
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
+
+    def local(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = _knuth_hash(ids) if by_hash else ids
+        order = np.lexsort((ids, key))[:n]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[order], pa.int64()),
+                "k": pa.array(key[order], pa.int64()),
+            }
+        )
+
+    p = ds.map_batches(local, batch_format="pyarrow").to_pandas()
+    p = p.sort_values(["k", "vec_id"], kind="mergesort").head(n)
+    return p["vec_id"].to_numpy().astype(np.int64)
+
+
+def _fetch_rows_by_id(sf_dir: str, ids: np.ndarray) -> pd.DataFrame:
+    """Filtered take of just the given rows (one ``pc.is_in`` pass over
+    the embeddings table; driver holds len(ids) rows, nothing more)."""
+    ids_ref = ray.put(pa.array(sorted(int(i) for i in ids), pa.int64()))
+
+    def filt(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["vec_id"], value_set=ray.get(ids_ref)))
+
+    return _emb(sf_dir).map_batches(filt, batch_format="pyarrow").to_pandas()
+
+
+def _query_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """(query ids, L2-normalized query matrix) for the fixed query set
+    (the N lowest vec_ids) — selected distributedly, never by reading
+    the table onto the driver."""
+    qids = _bottom_ids(sf_dir, N_QUERIES)
+    df = _fetch_rows_by_id(sf_dir, qids).sort_values("vec_id")
     q = np.stack(df["embedding"].to_numpy()).astype(np.float64)
     qn = np.linalg.norm(q, axis=1, keepdims=True)
     qn[qn == 0] = 1.0
-    return df["vec_id"].to_numpy(), q / qn
+    return df["vec_id"].to_numpy().astype(np.int64), q / qn
 
 
 def q_knn_bruteforce(sf_dir: str):
@@ -51,10 +116,7 @@ def q_knn_bruteforce(sf_dir: str):
 
     def local_topk(t: pa.Table) -> pa.Table:
         qids_, qmat_ = ray.get(q_ref)
-        ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
-        m = np.stack(
-            [np.asarray(e, dtype=np.float64) for e in t["embedding"].to_pylist()]
-        )
+        ids, m = _stack_embeddings(t)
         norms = np.linalg.norm(m, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         sims = np.round((m / norms) @ qmat_.T, 4)  # (n, q), rounded keys
@@ -104,42 +166,72 @@ SELECT query_id, vec_id, cos FROM r WHERE rn <= {TOP_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# LSH ANN — random-hyperplane tables with query-directed multi-probe.
+#
+# All signature/margin arithmetic is INTEGER (components quantized with
+# floor(x * 2^20 + 0.5), ±1 Rademacher planes), the same trick proven by
+# dedup.sql_dedup_embedding_lsh: no float summation-order sensitivity, so
+# a DuckDB oracle recomputes buckets, probe sequences, the candidate set
+# and the final rounded-cosine top-k bit for bit (sql_knn_lsh).
+# ---------------------------------------------------------------------------
+
 N_LSH_TABLES = 8  # L hash tables of K planes each
 N_LSH_PLANES = 10  # 2^K = 1024 buckets per table
 N_LSH_PROBES = 8  # T buckets probed per (query, table), query-directed
+N_LSH_LOW_BITS = 6  # lowest-margin bits eligible for flipping
+N_LSH_MAX_FLIPS = 3  # probe buckets differ from base in <= 3 bits
+LSH_QUANT = 1 << 20  # fixed-point quantization scale for components
+LSH_PLANE_SEED = 4242
+LSH_MAX_DIM = 64
 
 
-def _lsh_buckets(m: np.ndarray, pl: np.ndarray) -> np.ndarray:
-    """(n, dim) → (n, L) bucket ids (sign of K random projections)."""
-    out = np.zeros((m.shape[0], N_LSH_TABLES), dtype=np.int64)
-    for t in range(N_LSH_TABLES):
-        sig = (m @ pl[t] > 0)
-        for b in range(N_LSH_PLANES):
-            out[:, t] |= sig[:, b].astype(np.int64) << b
-    return out
+def _knn_lsh_planes() -> np.ndarray:
+    """±1 Rademacher planes, (L, K, dim).  Integer-valued ON PURPOSE —
+    see the section comment; inlined as literals by sql_knn_lsh."""
+    rng = np.random.RandomState(LSH_PLANE_SEED)
+    return (
+        rng.randint(0, 2, size=(N_LSH_TABLES, N_LSH_PLANES, LSH_MAX_DIM)) * 2 - 1
+    ).astype(np.int64)
 
 
-def _probe_sequence(z: np.ndarray, n_probes: int) -> list[int]:
+def _lsh_proj_int(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """(n, dim) raw floats → (n, L, K) exact-integer projections:
+    zq = sum_d floor(x_d * 2^20 + 0.5) * s_{t,b,d}."""
+    q = np.floor(m * float(LSH_QUANT) + 0.5).astype(np.int64)
+    d = q.shape[1]
+    return np.tensordot(q, planes[:, :, :d], axes=([1], [2]))
+
+
+def _lsh_bucket_ids(proj: np.ndarray) -> np.ndarray:
+    """(n, L, K) integer projections → (n, L) bucket ids (bit b set
+    iff zq > 0 — strict, matched by the SQL CASE)."""
+    bits = (proj > 0).astype(np.int64)
+    return (bits << np.arange(N_LSH_PLANES, dtype=np.int64)).sum(axis=2)
+
+
+def _probe_sequence(zq: np.ndarray, n_probes: int) -> list[int]:
     """Query-directed multi-probe (Lv et al., VLDB'07): probe the exact
-    bucket plus the buckets reached by flipping the LOWEST-MARGIN bits
-    (|projection| smallest ⇒ neighbor most likely across that
-    hyperplane), subsets of size ≤ 3 among the 6 lowest, ranked by the
-    summed flipped margin."""
+    bucket plus the buckets reached by flipping the LOWEST-|margin|
+    bits (neighbor most likely across the hyperplane it is closest
+    to), subsets of size ≤ 3 among the 6 lowest, ranked by
+    (summed flipped margin, bucket id).  Margins are integers and the
+    low-bit selection tie-breaks by bit index (stable lexsort), so the
+    sequence is a pure function of the integer projections — the SQL
+    oracle enumerates the identical subsets."""
     import itertools
 
-    k = len(z)
-    base = 0
-    for b in range(k):
-        if z[b] > 0:
-            base |= 1 << b
-    low = np.argsort(np.abs(z))[:6]
-    scored: list[tuple[float, int]] = []
-    for r in range(1, 4):
-        for comb in itertools.combinations(low, r):
+    k = len(zq)
+    base = int(((zq > 0).astype(np.int64) << np.arange(k)).sum())
+    a = np.abs(zq)
+    low = np.lexsort((np.arange(k), a))[:N_LSH_LOW_BITS]
+    scored: list[tuple[int, int]] = []
+    for r in range(1, N_LSH_MAX_FLIPS + 1):
+        for comb in itertools.combinations(low.tolist(), r):
             bkt = base
             for b in comb:
                 bkt ^= 1 << int(b)
-            scored.append((float(sum(abs(z[b]) for b in comb)), bkt))
+            scored.append((int(sum(int(a[b]) for b in comb)), bkt))
     scored.sort()
     return [base] + [b for _, b in scored[: max(0, n_probes - 1)]]
 
@@ -161,15 +253,24 @@ def q_knn_lsh(sf_dir: str):
     fetched by one ``pc.is_in`` filter over the embeddings table and
     scored exactly (partial top-k per batch, brute-force pattern).  At
     cluster scale the index rows would be PERSISTED bucket-partitioned
-    so this fetch prunes at the read instead of filter-scanning."""
+    so this fetch prunes at the read instead of filter-scanning.
+
+    EXACT SQL parity: buckets, probe sequences and the candidate set
+    are pure integer arithmetic (see section comment); sql_knn_lsh
+    recomputes the whole pipeline and CORRECTNESS hash-matches it."""
     import logging
 
-    import pyarrow.compute as pc
-
-    rng = np.random.default_rng(42)
+    planes = _knn_lsh_planes()
     qids, qmat = _query_matrix(sf_dir)
-    dim = qmat.shape[1]
-    planes = rng.standard_normal((N_LSH_TABLES, dim, N_LSH_PLANES))
+    # raw (unnormalized) query rows drive the probe margins: signs and
+    # the |margin| orderings are scale-invariant, and using the raw
+    # quantized components keeps the arithmetic integer-exact.
+    qraw = np.stack(
+        _fetch_rows_by_id(sf_dir, qids)
+        .sort_values("vec_id")["embedding"]
+        .to_numpy()
+    ).astype(np.float64)
+    qproj = _lsh_proj_int(qraw, planes)  # (N, L, K)
     p_ref = ray.put(planes)
 
     # wanted (table, bucket) keys from the per-query probe sequences,
@@ -177,8 +278,7 @@ def q_knn_lsh(sf_dir: str):
     wanted: set[int] = set()
     for j in range(len(qids)):
         for t in range(N_LSH_TABLES):
-            z = qmat[j] @ planes[t]
-            for b in _probe_sequence(z, N_LSH_PROBES):
+            for b in _probe_sequence(qproj[j, t], N_LSH_PROBES):
                 wanted.add(t * (1 << N_LSH_PLANES) + b)
     wanted_arr = pa.array(sorted(wanted), pa.int64())
     wanted_ref = ray.put(wanted_arr)
@@ -188,11 +288,8 @@ def q_knn_lsh(sf_dir: str):
         probed buckets (ids only — no embedding payload)."""
         pl = ray.get(p_ref)
         want = ray.get(wanted_ref)
-        ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
-        m = np.stack(
-            [np.asarray(e, dtype=np.float64) for e in t["embedding"].to_pylist()]
-        )
-        bk = _lsh_buckets(m, pl)  # (n, L)
+        ids, m = _stack_embeddings(t)
+        bk = _lsh_bucket_ids(_lsh_proj_int(m, pl))  # (n, L)
         keys = (
             np.arange(N_LSH_TABLES, dtype=np.int64)[None, :]
             * (1 << N_LSH_PLANES)
@@ -222,13 +319,102 @@ def q_knn_lsh(sf_dir: str):
     return _score_candidate_ids(sf_dir, cand_ids, qids, qmat)
 
 
+def sql_knn_lsh() -> str:
+    """DuckDB oracle for q_knn_lsh — EXACT.  The ±1 plane tensor is
+    inlined as literals; components quantize with the identical
+    floor(x*2^20 + 0.5); projections, buckets, probe subsets (size ≤ 3
+    of the 6 lowest |margin| bits, ranked by (margin sum, bucket)) and
+    the candidate semi-join are all integer arithmetic; final scoring
+    is the brute-force rounded-cosine top-k restricted to candidates."""
+    planes = _knn_lsh_planes()
+    vals = ", ".join(
+        f"({t},{b},{d},{int(planes[t, b, d])})"
+        for t in range(N_LSH_TABLES)
+        for b in range(N_LSH_PLANES)
+        for d in range(LSH_MAX_DIM)
+    )
+    return f"""
+WITH planes(t, b, d, s) AS (VALUES {vals}),
+emb AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         floor(unnest(embedding)::DOUBLE * {LSH_QUANT}.0 + 0.5)::BIGINT AS eq
+  FROM embeddings
+), proj AS (
+  SELECT e.vec_id, p.t, p.b, sum(e.eq * p.s) AS z
+  FROM emb e JOIN planes p USING (d)
+  GROUP BY e.vec_id, p.t, p.b
+), buckets AS (
+  SELECT vec_id, t,
+         sum(CASE WHEN z > 0 THEN (1::BIGINT << b) ELSE 0 END) AS bkt
+  FROM proj GROUP BY vec_id, t
+), q AS (
+  SELECT vec_id AS query_id FROM embeddings ORDER BY vec_id LIMIT {N_QUERIES}
+), qproj AS (
+  SELECT p.vec_id AS query_id, p.t, p.b, p.z, abs(p.z) AS az
+  FROM proj p JOIN q ON p.vec_id = q.query_id
+), qbase AS (
+  SELECT query_id, t,
+         sum(CASE WHEN z > 0 THEN (1::BIGINT << b) ELSE 0 END) AS base
+  FROM qproj GROUP BY query_id, t
+), lows AS (
+  SELECT query_id, t, b, az,
+         row_number() OVER (PARTITION BY query_id, t ORDER BY az, b) AS r
+  FROM qproj
+  QUALIFY r <= {N_LSH_LOW_BITS}
+), subs AS (
+  SELECT query_id, t, (1::BIGINT << b) AS mask, az AS score FROM lows
+  UNION ALL
+  SELECT l1.query_id, l1.t,
+         (1::BIGINT << l1.b) | (1::BIGINT << l2.b), l1.az + l2.az
+  FROM lows l1 JOIN lows l2
+    ON l1.query_id = l2.query_id AND l1.t = l2.t AND l1.r < l2.r
+  UNION ALL
+  SELECT l1.query_id, l1.t,
+         (1::BIGINT << l1.b) | (1::BIGINT << l2.b) | (1::BIGINT << l3.b),
+         l1.az + l2.az + l3.az
+  FROM lows l1
+  JOIN lows l2 ON l1.query_id = l2.query_id AND l1.t = l2.t AND l1.r < l2.r
+  JOIN lows l3 ON l2.query_id = l3.query_id AND l2.t = l3.t AND l2.r < l3.r
+), flips AS (
+  SELECT s.query_id, s.t, xor(qb.base, s.mask) AS bkt, s.score,
+         row_number() OVER (PARTITION BY s.query_id, s.t
+                            ORDER BY s.score, xor(qb.base, s.mask)) AS pr
+  FROM subs s JOIN qbase qb USING (query_id, t)
+), probes AS (
+  SELECT query_id, t, bkt FROM flips WHERE pr <= {N_LSH_PROBES - 1}
+  UNION ALL
+  SELECT query_id, t, base AS bkt FROM qbase
+), wanted AS (
+  SELECT DISTINCT t, bkt FROM probes
+), cand AS (
+  SELECT DISTINCT bu.vec_id
+  FROM buckets bu JOIN wanted w ON bu.t = w.t AND bu.bkt = w.bkt
+), qv AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+  ORDER BY vec_id LIMIT {N_QUERIES}
+), scored AS (
+  -- ::DOUBLE[] casts: the parquet column is FLOAT[], and DuckDB's
+  -- list_cosine_similarity computes in the list's element type; the
+  -- Ray side computes in float64 over the same float32-snapped
+  -- values, so the cast makes both sides bit-comparable at round-4
+  SELECT qv.query_id, e.vec_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                      qv.qe::DOUBLE[]), 4) AS cos
+  FROM embeddings e JOIN cand c ON e.vec_id = c.vec_id, qv
+), r AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT query_id, vec_id, cos FROM r WHERE rn <= {TOP_K}
+"""
+
+
 def _score_candidate_ids(sf_dir, cand_ids, qids, qmat) -> pd.DataFrame:
     """Exact cosine top-k restricted to ``cand_ids`` — the shared tail
     of the bucketed ANN variants: one ``pc.is_in`` filter pass over the
     embeddings table, per-batch partial top-k, driver merge over
     ``batches × k`` rows only."""
-    import pyarrow.compute as pc
-
     cand_ref = ray.put(pa.array(sorted(cand_ids), pa.int64()))
     q_ref = ray.put((qids, qmat))
 
@@ -242,10 +428,7 @@ def _score_candidate_ids(sf_dir, cand_ids, qids, qmat) -> pd.DataFrame:
                  "cos": pa.array([], pa.float64())}
             )
         qids_, qmat_ = ray.get(q_ref)
-        ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
-        m = np.stack(
-            [np.asarray(e, dtype=np.float64) for e in t["embedding"].to_pylist()]
-        )
+        ids, m = _stack_embeddings(t)
         norms = np.linalg.norm(m, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         sims = np.round((m / norms) @ qmat_.T, 4)
@@ -289,7 +472,7 @@ def _score_candidate_ids(sf_dir, cand_ids, qids, qmat) -> pd.DataFrame:
 
 N_IVF_LISTS = 64  # nlist (coarse centroids)
 N_IVF_PROBE = 8  # nprobe (cells scanned per query)
-IVF_TRAIN_SAMPLE = 4096  # driver-side k-means training sample
+IVF_TRAIN_SAMPLE = 4096  # k-means training sample size (hash-sampled)
 IVF_KMEANS_ITERS = 10
 
 
@@ -297,16 +480,16 @@ def _train_centroids(sf_dir: str) -> np.ndarray:
     """Deterministic spherical k-means on a bounded sample.
 
     Standard IVF practice at any scale: training runs on a SAMPLE
-    (driver-side, bounded by ``IVF_TRAIN_SAMPLE`` rows — never the
-    corpus), the resulting ``(nlist, dim)`` centroid matrix is tiny and
-    broadcast.  Sampling is by lowest vec_id for determinism; at
-    cluster scale a hash-sample pushdown gives the same bound."""
-    import pyarrow.parquet as pq
-
-    t = pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
-    df = t.to_pandas().sort_values("vec_id").head(IVF_TRAIN_SAMPLE)
+    (bounded by ``IVF_TRAIN_SAMPLE`` rows — never the corpus), the
+    resulting ``(nlist, dim)`` centroid matrix is tiny and broadcast.
+    The sample is a DISTRIBUTED deterministic hash-sample: bottom-n
+    vec_ids by a multiplicative hash (uniform without replacement),
+    selected by a per-batch partial bottom-n over a vec_id-only read
+    and fetched by one filtered pass — the driver never sees more
+    than the sample."""
+    df = _fetch_rows_by_id(
+        sf_dir, _bottom_ids(sf_dir, IVF_TRAIN_SAMPLE, by_hash=True)
+    ).sort_values("vec_id")
     x = np.stack(df["embedding"].to_numpy()).astype(np.float64)
     n = np.linalg.norm(x, axis=1, keepdims=True)
     n[n == 0] = 1.0
@@ -355,10 +538,7 @@ def q_knn_ivf(sf_dir: str):
     def assign_filter(t: pa.Table) -> pa.Table:
         cen = ray.get(c_ref)
         want = ray.get(w_ref)
-        ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
-        m = np.stack(
-            [np.asarray(e, dtype=np.float64) for e in t["embedding"].to_pylist()]
-        )
+        ids, m = _stack_embeddings(t)
         norms = np.linalg.norm(m, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         cells = np.argmax((m / norms) @ cen.T, axis=1)

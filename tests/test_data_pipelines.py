@@ -233,6 +233,15 @@ def test_knn_bruteforce_sql_parity(con):
     )
 
 
+def test_knn_lsh_sql_parity(con):
+    """knn_lsh is HASH-EXACT vs DuckDB: integer-quantized projections
+    make buckets, probe sequences and the candidate set pure integer
+    arithmetic on both sides (same trick as dedup_embedding_lsh)."""
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines import similarity
+
+    _assert_matches_sql(similarity.q_knn_lsh(SF), con, similarity.sql_knn_lsh())
+
+
 def test_window_and_sessionize_sql_parity(con):
     from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines import events
 
