@@ -63,12 +63,17 @@ class HyperLogLog:
     def estimate(self) -> float:
         m = self.m
         # S = sum(2^-reg) kept as an EXACT dyadic rational
-        # (sum(2^(53-reg)) / 2^53, arbitrary-precision int): makes the
-        # estimate bit-deterministic regardless of summation order, so
-        # a SQL oracle recomputing the same integer gets the identical
-        # double (events.sql_approx_distinct_users).
-        s_int = sum(1 << (53 - int(r)) for r in self.registers)
-        est = self.alpha * m * m * 9007199254740992.0 / s_int
+        # (sum(2^(scale-reg)) / 2^scale, arbitrary-precision int): makes
+        # the estimate bit-deterministic regardless of summation order,
+        # so a SQL oracle recomputing the same integer gets the
+        # identical double (events.sql_approx_distinct_users).  The
+        # scale is the max representable rank 64 - p + 1 (= 53 at the
+        # default p=12, matching the SQL oracle's constant), NOT a
+        # hardcoded 53 — a register above the scale would make the
+        # shift negative and raise (ADVICE r2: any p < 12 did).
+        scale = 64 - self.p + 1
+        s_int = sum(1 << (scale - int(r)) for r in self.registers)
+        est = self.alpha * m * m * float(1 << scale) / s_int
         if est <= 2.5 * m:
             zeros = int(np.count_nonzero(self.registers == 0))
             if zeros:
@@ -81,5 +86,11 @@ class HyperLogLog:
     @classmethod
     def from_bytes(cls, data: bytes, p: int = 12) -> "HyperLogLog":
         h = cls(p)
-        h.registers = np.frombuffer(data, dtype=np.uint8).copy()
+        regs = np.frombuffer(data, dtype=np.uint8).copy()
+        if len(regs) != h.m:
+            raise ValueError(
+                f"register blob has {len(regs)} entries, expected {h.m} "
+                f"for p={p}"
+            )
+        h.registers = regs
         return h

@@ -76,6 +76,20 @@ JACCARD_THRESHOLD = 0.5
 
 DEDUP_JOIN_BUCKETS = 32
 
+# cap on candidate-doc ids held on the driver for the broadcast
+# semi-join (8 B each → ≤ 40 MB); past it, verification falls back to a
+# full bucketed shuffle with no driver residency (see
+# _verify_candidate_pairs docstring)
+DEDUP_IDSET_DRIVER_MAX = 5_000_000
+
+_EMPTY_PAIRS_JAC = pa.table(
+    {
+        "doc_a": pa.array([], pa.int64()),
+        "doc_b": pa.array([], pa.int64()),
+        "jac": pa.array([], pa.float64()),
+    }
+)
+
 _POP16 = None  # lazy 16-bit popcount table (65 KiB, built once per worker)
 
 
@@ -267,7 +281,14 @@ def _verify_candidate_pairs(sf_dir: str, cand, shingle_k: int, threshold: float)
        and applies the exact shingle-Jaccard filter.
 
     Returns (doc_a, doc_b, jac) with doc_a < doc_b, rounded to 6
-    digits."""
+    digits.
+
+    Blowup hardening: the distinct-id broadcast is GATED on the pair
+    count (2·pairs bounds the distinct ids).  A duplicate-dominated
+    corpus that exceeds ``DEDUP_IDSET_DRIVER_MAX`` skips the driver id
+    materialization entirely and ships every doc row into the bucketed
+    equi-join instead (the join's inner merge drops non-candidates) —
+    one full shuffle of the docs table, but zero driver residency."""
     NB = DEDUP_JOIN_BUCKETS
 
     # 1. cross-bucket dedupe, distributed; materialized ONCE (pairs
@@ -307,15 +328,30 @@ def _verify_candidate_pairs(sf_dir: str, cand, shingle_k: int, threshold: float)
         .materialize()
     )
 
-    # 2a. the small side of the semi-join: distinct candidate ids
+    # empty candidate set (duplicate-free corpus): Dataset.unique would
+    # return None and downstream groupbys emit schema-less blocks —
+    # return the typed empty result instead
+    n_pairs = uniq.count()
+    if n_pairs == 0:
+        return ray.data.from_arrow(_EMPTY_PAIRS_JAC)
+
+    # 2a. the small side of the semi-join: distinct candidate ids —
+    # driver-held (ids only) ONLY while bounded; see docstring
+    broadcast_ids = 2 * n_pairs <= DEDUP_IDSET_DRIVER_MAX
+
     def pair_ids(t: pa.Table) -> pa.Table:
         both = pa.concat_arrays(
             [t["doc_a"].combine_chunks(), t["doc_b"].combine_chunks()]
         )
         return pa.table({"doc_id": pc.unique(both)})
 
-    ids = sorted(uniq.map_batches(pair_ids, batch_format="pyarrow").unique("doc_id"))
-    ids_ref = ray.put(pa.array(ids, pa.int64()))
+    if broadcast_ids:
+        ids = sorted(
+            uniq.map_batches(pair_ids, batch_format="pyarrow").unique("doc_id")
+        )
+        ids_ref = ray.put(pa.array(ids, pa.int64()))
+    else:
+        ids_ref = None
 
     def tag_pairs(t: pa.Table) -> pa.Table:
         # each pair → two join rows, keyed by the doc whose text it needs
@@ -340,8 +376,9 @@ def _verify_candidate_pairs(sf_dir: str, cand, shingle_k: int, threshold: float)
         )
 
     def tag_docs(t: pa.Table) -> pa.Table:
-        want = ray.get(ids_ref)
-        t = t.filter(pc.is_in(t["doc_id"], value_set=want))  # semi-join
+        if ids_ref is not None:  # broadcast semi-join prefilter
+            want = ray.get(ids_ref)
+            t = t.filter(pc.is_in(t["doc_id"], value_set=want))
         k = t["doc_id"]
         return pa.table(
             {
@@ -770,6 +807,20 @@ def q_dedup_clusters(sf_dir: str):
         .materialize()  # edges only (two int64 cols) — reused every round
     )
 
+    # duplicate-free corpus: no edges → every doc is its own cluster
+    # (an empty Dataset.aggregate returns None in Ray 2.49, and an
+    # empty groupby can emit schema-less blocks — skip propagation)
+    if edges.count() == 0:
+        def own_cluster(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].combine_chunks().cast(pa.int64())
+            return pa.table({"node": ids, "cluster": ids})
+
+        return (
+            _docs(sf_dir, ["doc_id"])
+            .map_batches(own_cluster, batch_format="pyarrow")
+            .sort("node")
+        )
+
     # active nodes = distinct edge endpoints (src covers both ends of
     # the symmetric edge set); initial label = own id
     def init_labels(t: pa.Table) -> pa.Table:
@@ -781,7 +832,8 @@ def q_dedup_clusters(sf_dir: str):
         .aggregate(Min("label", alias_name="label"))
         .materialize()
     )
-    prev_sum = labels.aggregate(Sum("label", alias_name="s"))["s"] or 0
+    agg = labels.aggregate(Sum("label", alias_name="s"))
+    prev_sum = agg["s"] if agg else 0
 
     NB = DEDUP_JOIN_BUCKETS
 
@@ -838,7 +890,8 @@ def q_dedup_clusters(sf_dir: str):
             .aggregate(Min("label", alias_name="label"))
             .materialize()
         )
-        cur_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
+        agg = labels.aggregate(Sum("label", alias_name="s"))
+        cur_sum = agg["s"] if agg else 0
         if cur_sum == prev_sum:
             break  # labels are monotone non-increasing ⇒ fixpoint
         prev_sum = cur_sum
@@ -1087,14 +1140,37 @@ def _verify_candidate_pairs_embedding(sf_dir: str, cand):
         .materialize()
     )
 
+    # empty candidate set / id-blowup gate: same hardening as
+    # _verify_candidate_pairs (typed empty result; bounded driver ids)
+    n_pairs = uniq.count()
+    if n_pairs == 0:
+        return (
+            ray.data.from_arrow(
+                pa.table(
+                    {
+                        "vec_a": pa.array([], pa.int64()),
+                        "vec_b": pa.array([], pa.int64()),
+                        "cos": pa.array([], pa.float64()),
+                    }
+                )
+            )
+            .to_pandas()
+        )
+    broadcast_ids = 2 * n_pairs <= DEDUP_IDSET_DRIVER_MAX
+
     def pair_ids(t: pa.Table) -> pa.Table:
         both = pa.concat_arrays(
             [t["doc_a"].combine_chunks(), t["doc_b"].combine_chunks()]
         )
         return pa.table({"vec_id": pc.unique(both)})
 
-    ids = sorted(uniq.map_batches(pair_ids, batch_format="pyarrow").unique("vec_id"))
-    ids_ref = ray.put(pa.array(ids, pa.int64()))
+    if broadcast_ids:
+        ids = sorted(
+            uniq.map_batches(pair_ids, batch_format="pyarrow").unique("vec_id")
+        )
+        ids_ref = ray.put(pa.array(ids, pa.int64()))
+    else:
+        ids_ref = None
 
     def tag_pairs(t: pa.Table) -> pa.Table:
         a = t["doc_a"].combine_chunks()
@@ -1115,8 +1191,9 @@ def _verify_candidate_pairs_embedding(sf_dir: str, cand):
         )
 
     def tag_vecs(t: pa.Table) -> pa.Table:
-        want = ray.get(ids_ref)
-        t = t.filter(pc.is_in(t["vec_id"], value_set=want))  # semi-join
+        if ids_ref is not None:  # broadcast semi-join prefilter
+            want = ray.get(ids_ref)
+            t = t.filter(pc.is_in(t["vec_id"], value_set=want))
         k = t["vec_id"]
         return pa.table(
             {

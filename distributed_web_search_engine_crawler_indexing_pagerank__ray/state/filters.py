@@ -208,6 +208,11 @@ class ScalableSeenFilters:
             self.bloom.add_many(np.asarray(keys, dtype=np.uint64))
             for k in keys:
                 self.cuckoo.add(int(k))
+            if self.cuckoo.n_failed:
+                # a dropped fingerprint would make contains_many return a
+                # DEFINITIVE negative for a genuinely-seen key and break
+                # the exact-authority contract — rebuild at 2x immediately
+                self._rebuild()
 
     def _rebuild(self) -> None:
         n = len(self.keys)
@@ -217,11 +222,20 @@ class ScalableSeenFilters:
         bits = self.bloom.n_bits
         while n * 10 > bits:
             bits *= 2
-        self.cuckoo = CuckooFilter(n_buckets=buckets)
         self.bloom = BloomFilter(n_bits=bits)
         self.bloom.add_many(np.asarray(self.keys, dtype=np.uint64))
-        for k in self.keys:
-            self.cuckoo.add(int(k))
+        # retry with doubling if the fresh table still drops a key (only
+        # possible via adversarial fingerprint collisions at <=0.6 load);
+        # after the bounded retries, leave n_failed set — contains_many
+        # then degrades to bloom-only screening, which has no false
+        # negatives, so correctness is preserved at a higher probe cost.
+        for _ in range(3):
+            self.cuckoo = CuckooFilter(n_buckets=buckets)
+            for k in self.keys:
+                self.cuckoo.add(int(k))
+            if self.cuckoo.n_failed == 0:
+                break
+            buckets *= 2
         self.rebuilds += 1
 
     def contains_many(self, keys: np.ndarray) -> np.ndarray:
@@ -234,7 +248,10 @@ class ScalableSeenFilters:
         maybe = self.bloom.contains_many(keys)
         hits = np.nonzero(maybe)[0]
         self.bloom_maybe += len(hits)
-        if len(hits):
+        if len(hits) and self.cuckoo.n_failed == 0:
+            # the cuckoo layer is only consulted while it is COMPLETE
+            # (n_failed == 0); a filter that dropped an insert could
+            # return a false definitive-negative for a seen key
             ck = self.cuckoo.contains_many(np.asarray(keys, dtype=np.uint64)[hits])
             maybe[hits] = ck
             self.cuckoo_maybe += int(ck.sum())
@@ -246,4 +263,5 @@ class ScalableSeenFilters:
             "bloom_maybe": self.bloom_maybe,
             "cuckoo_maybe": self.cuckoo_maybe,
             "rebuilds": self.rebuilds,
+            "cuckoo_failed": self.cuckoo.n_failed,
         }

@@ -138,6 +138,26 @@ def main() -> int:
     import pyarrow.parquet as pq
 
     os.makedirs(args.out_dir, exist_ok=True)
+
+    # run-parameter guard (ADVICE r2): skipping finished partitions is
+    # only sound if they were produced under the SAME parameters —
+    # resuming after a --lo/--hi or MIX_CYCLE change would silently mix
+    # thresholds.  meta.json records them; a mismatch refuses to resume.
+    meta = {"sf_dir": args.sf_dir, "lo": args.lo, "hi": args.hi,
+            "thresholds": [lo, hi], "mix_cycle": MIX_CYCLE}
+    meta_path = os.path.join(args.out_dir, "meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            prev = json.load(f)
+        if prev != meta:
+            print(json.dumps({"error": "param_mismatch",
+                              "existing": prev, "current": meta}))
+            ray.shutdown()
+            return 2
+    else:
+        with open(meta_path, "w") as f:
+            json.dump(meta, f)
+
     written, skipped = 0, 0
     df = sampled.select_columns(
         ["doc_id", "source", "n_chars", "text"]

@@ -67,7 +67,9 @@ def test_dataprep_job_script_end_to_end_and_skip(tmp_path):
     assert r1.returncode == 0, r1.stderr[-2000:]
     s1 = json.loads(r1.stdout.strip().splitlines()[-1])
     assert s1["rows_out"] > 0 and s1["partitions_written"] > 0
-    assert all(d.startswith("source=") for d in os.listdir(out_dir))
+    assert all(d.startswith("source=") for d in os.listdir(out_dir)
+               if d != "meta.json")
+    assert os.path.exists(os.path.join(out_dir, "meta.json"))
 
     r2 = subprocess.run(cmd, capture_output=True, text=True, env=env,
                         timeout=300)
@@ -75,3 +77,11 @@ def test_dataprep_job_script_end_to_end_and_skip(tmp_path):
     s2 = json.loads(r2.stdout.strip().splitlines()[-1])
     assert s2["partitions_written"] == 0
     assert s2["partitions_skipped"] == s1["partitions_written"]
+
+    # ADVICE r2: resuming with DIFFERENT parameters must refuse, not
+    # silently keep partitions computed under the old thresholds
+    r3 = subprocess.run(cmd + ["--lo", "0.10"], capture_output=True,
+                        text=True, env=env, timeout=300)
+    assert r3.returncode == 2, (r3.returncode, r3.stdout[-500:])
+    s3 = json.loads(r3.stdout.strip().splitlines()[-1])
+    assert s3["error"] == "param_mismatch"

@@ -513,3 +513,72 @@ def test_embedding_stats_sql_parity(con):
     _assert_matches_sql(
         similarity.q_embedding_stats(SF), con, similarity.SQL_EMBEDDING_STATS
     )
+
+
+def test_dedup_clusters_duplicate_free_corpus(tmp_path):
+    """ADVICE r2: a corpus with NO dup edges (no exact, no n-gram
+    near-dup) must yield singleton clusters, not crash on the empty
+    Dataset.aggregate (returns None in Ray 2.49)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines import dedup
+
+    rng = np.random.default_rng(7)
+    words = [f"w{int(x):05d}" for x in rng.integers(0, 99999, size=2000)]
+    texts = [
+        " ".join(words[i * 40 : (i + 1) * 40]) + f" unique{i}token{i}"
+        for i in range(50)
+    ]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(50), pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        tmp_path / "documents.parquet",
+    )
+    out = _to_df(dedup.q_dedup_clusters(str(tmp_path)))
+    assert len(out) == 50
+    assert (out["node"].to_numpy() == out["cluster"].to_numpy()).all()
+
+
+def test_verify_pairs_idset_blowup_fallback(tmp_path, monkeypatch):
+    """VERDICT r2 #6: with a duplicate-dominated corpus and the driver
+    id cap forced to 0, verification must run WITHOUT the driver id
+    materialization (full bucketed-join mode) and produce the identical
+    pair set as broadcast mode."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines import dedup
+
+    base = ("the quick brown fox jumps over the lazy dog again and "
+            "again because repetition dominates this corpus entirely")
+    texts = [base + (" tail" if i % 2 else "") for i in range(40)]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(40), pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        tmp_path / "documents.parquet",
+    )
+    small = _to_df(dedup.q_dedup_minhash(str(tmp_path)))
+    monkeypatch.setattr(dedup, "DEDUP_IDSET_DRIVER_MAX", 0)
+    large = _to_df(dedup.q_dedup_minhash(str(tmp_path)))
+    key = ["doc_a", "doc_b"]
+    assert small.sort_values(key).reset_index(drop=True).equals(
+        large.sort_values(key).reset_index(drop=True)
+    )
+    assert len(small) > 100  # duplicate-dominated indeed
+
+
+def test_hll_small_p_and_mismatched_blob():
+    """ADVICE r2: estimate() must not raise for p < 12 (the dyadic
+    scale follows the max representable rank), and from_bytes must
+    reject a register blob whose length mismatches p."""
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.functions.sketch import (
+        HyperLogLog,
+    )
+
+    h = HyperLogLog(p=8).add_many(np.arange(1, 50_001, dtype=np.uint64))
+    est = h.estimate()
+    assert abs(est - 50_000) / 50_000 < 0.25  # ~1.04/sqrt(256) ≈ 6.5 %
+    # p=12 default unchanged (the SQL oracle's constant 53 still holds)
+    h12 = HyperLogLog().add_many(np.arange(1, 50_001, dtype=np.uint64))
+    assert abs(h12.estimate() - 50_000) / 50_000 < 0.05
+    with pytest.raises(ValueError):
+        HyperLogLog.from_bytes(h.to_bytes(), p=12)

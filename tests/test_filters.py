@@ -77,3 +77,24 @@ def test_layered_probe_cuckoo_screens_bloom_false_positives():
     f2 = ScalableSeenFilters(n_bits=1 << 10, n_buckets=1 << 12)
     f2.add_batch(members)
     assert f2.contains_many(np.asarray(members, dtype=np.uint64)).all()
+
+
+def test_insert_failure_never_breaks_exact_authority():
+    """ADVICE r2: a CuckooFilter.add that fails after max_kicks must not
+    turn into a definitive negative for a genuinely-added key.  Path 1:
+    add_batch sees n_failed and rebuilds at 2x (failure absorbed).
+    Path 2: if n_failed somehow persists, contains_many must skip the
+    cuckoo layer entirely (bloom-only, no false negatives)."""
+    f = ScalableSeenFilters(n_bits=1 << 12, n_buckets=1 << 4)
+    keys = [k * 2654435761 % (1 << 61) for k in range(1, 400)]
+    f.add_batch(keys)
+    # path 1: whatever happened internally, the pair is complete now
+    assert f.stats()["cuckoo_failed"] == 0
+    assert f.contains_many(np.asarray(keys, dtype=np.uint64)).all()
+    # path 2: force a persistent failure and verify the bloom fallback
+    f.cuckoo.n_failed = 1
+    assert f.contains_many(np.asarray(keys, dtype=np.uint64)).all()
+    # and the probe path really did skip the cuckoo layer
+    before = f.stats()["cuckoo_maybe"]
+    f.contains_many(np.asarray(keys[:50], dtype=np.uint64))
+    assert f.stats()["cuckoo_maybe"] == before
