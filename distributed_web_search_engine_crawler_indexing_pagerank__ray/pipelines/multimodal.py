@@ -236,6 +236,7 @@ def q_media_features(sf_dir: str) -> pa.Table:
         batch_format="pyarrow",
         batch_size=64,  # wide binary rows → small batches
         concurrency=2,
+        max_restarts=0,  # stateless-idempotent stage; see textpipe note
     )
     parts = list(out.iter_batches(batch_format="pyarrow", batch_size=None))
     if not parts:

@@ -369,8 +369,14 @@ def q_text_stats(sf_dir: str):
     """Language-ID + quality + fingerprint, as an actor-pool stage.
     EXACT, and SQL-oracle-checked (sql_text_stats); also unit-tested
     against the pure kernels."""
+    # max_restarts=0: the MapWorker holds its transform in the object
+    # store, and a restartable actor whose ctor args were lost would
+    # fail noisily (ray#53727); the stage is stateless-idempotent, so
+    # task-level retry of a fresh pool is the right recovery, not actor
+    # restart — and the bench tail stays clean.
     return _docs(sf_dir).map_batches(
-        TextStats, batch_format="pyarrow", batch_size=512, concurrency=2
+        TextStats, batch_format="pyarrow", batch_size=512, concurrency=2,
+        max_restarts=0,
     )
 
 
