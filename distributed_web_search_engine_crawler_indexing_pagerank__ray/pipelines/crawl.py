@@ -5,23 +5,26 @@ Replaces the reference's round loop (``src/jobs/Crawler.java:131-438``)
 explicit BFS waves, each ONE fused ``ray.data`` execution of ONE merged
 stage over hash-partitioned frontier blocks:
 
-    frontier (pa.Table of (url, part), part = hash(hostname) % P
-    assigned inside the PREVIOUS wave's tasks; duplicates allowed)
-        ──► driver groups whole partitions into ~equal blocks (one
-            vectorized int sort — no string sort, no boundary probing,
-            no global distinct on the driver)
-        ──► wave_stage (map_batches, stages/fetch.py): block-local
-            distinct → HostShard politeness admission (hash-sharded by
-            hostname; robots cache, next-fetch-time walk at virtual
-            t_k, host caps) → synthetic fetch → interleaved-span page
-            rows to `wave=K/` parquet in-stage → link pipeline +
-            enqueue probes against the wave-start seen snapshot →
-            partitioned frontier contributions out (SeenShard writes
-            fired async and awaited at block end — RPC/compute overlap)
-        ──► driver: next frontier = the (raw ∪ survivors ∪ redirect)
-            contribution rows, still partitioned and with duplicates
-            (each next-wave block dedups itself); SeenShard
-            ``reconcile`` + HostShard ``end_wave`` barrier commits.
+    frontier (sharded FrontierShard actors: (url, part) rows with
+    part = hash(hostname) % P, assigned inside the PREVIOUS wave's
+    tasks; duplicates allowed; the driver holds ONLY the per-part
+    count vector — P ints — never a URL)
+        ──► driver groups whole partitions into ~equal-count part
+            RANGES (a scan over P counts) and submits one one-row
+            (lo, hi) spec block per range
+        ──► wave_stage (map_batches, stages/fetch.py): range pull from
+            the owning FrontierShard(s) → block-local distinct →
+            HostShard politeness admission (hash-sharded by hostname;
+            robots cache, next-fetch-time walk at virtual t_k, host
+            caps) → synthetic fetch → interleaved-span page rows to
+            `wave=K/` parquet in-stage → link pipeline + enqueue
+            probes against the wave-start seen snapshot → partitioned
+            (raw ∪ survivor ∪ redirect) rows PUSHED to the
+            FrontierShards (all shard writes fired async and awaited
+            at block end — RPC/compute overlap)
+        ──► driver barrier: FrontierShard ``commit`` (buffer → next
+            frontier, returns per-part counts) + SeenShard
+            ``reconcile`` + HostShard ``end_wave``.
 
 Wave semantics are the virtual-time model documented in
 ``oracle/crawl_oracle.py`` — the engine's per-wave outputs are tested
@@ -35,11 +38,12 @@ host groups + t_k, so block composition cannot change results.
 Scale notes (10^10-URL frontier): page payloads never reach the driver
 (written to `wave=K/` parquet partitions from inside the stage — the
 resumable-output layout); state exchanges are batched actor RPCs
-sharded by hash (no all-to-all shuffle in the steady state); the only
-driver-held per-URL data is the partitioned frontier table for the
-current wave, touched only by vectorized kernels — at extreme scale
-that table would page through per-partition parquet manifests instead,
-a mechanical swap noted here for the cluster deployment.
+sharded by hash (no all-to-all shuffle in the steady state); frontier
+rows move task → FrontierShard → task (the r2 driver-held frontier
+table is gone — the per-wave driver allocation is now O(P) counts +
+O(tasks) metadata rows).  At 10^10 URLs each FrontierShard would
+additionally spill its committed slice to its own parquet partition
+instead of actor memory — a shard-local, mechanical extension.
 """
 
 from __future__ import annotations
@@ -58,7 +62,12 @@ import ray.data
 from ..functions.urlnorm import hostname as _hostname
 from ..functions.urlnorm import normalize_seed_url
 from ..sources.synthetic_web import CrawlParams, SyntheticWeb, WebConfig
-from ..state.actors import HostShard, SeenShard, ref_hash_and_key64
+from ..state.actors import (
+    FrontierShard,
+    HostShard,
+    SeenShard,
+    ref_hash_and_key64,
+)
 from ..stages.fetch import (
     CONTRIB_SCHEMA,
     PAGE_OUT_SCHEMA,
@@ -85,46 +94,35 @@ N_FRONTIER_PARTS = 192  # fixed hostname-hash partition count: identical
 # partitioning at every parallelism level; blocks = groups of partitions
 
 
-def _blocks_from_partitions(tbl: pa.Table, n_blocks: int) -> list[pa.Table]:
-    """Group the hash-partitioned frontier into ~equal row-count blocks.
-
-    ``tbl`` is (url, part) with ``part = hash(hostname) % P`` assigned
-    INSIDE the previous wave's tasks — one vectorized int sort (no
-    driver string sort, no boundary probing) makes every partition
-    contiguous, and any run of whole partitions is a valid block
-    (complete host groups by construction).  Duplicates survive here;
-    each block dedups itself in the wave stage."""
+def _ranges_from_counts(counts, n_blocks: int) -> list[tuple[int, int, int]]:
+    """Group the P frontier partitions into ~equal-row contiguous part
+    ranges — the driver's ENTIRE per-wave frontier work: a single scan
+    over the P-int count vector the FrontierShards returned at commit.
+    Returns (lo, hi, rows) triples, largest first (tasks dispatch in
+    order, so the straggler tail of each wave shrinks to the smallest
+    ranges).  A range of whole partitions holds complete host groups by
+    construction; duplicates are counted (blocks dedup themselves)."""
     import numpy as np
 
-    n = tbl.num_rows
+    counts = np.asarray(counts, dtype=np.int64)
+    n = int(counts.sum())
     if n == 0:
         return []
-    parts = tbl["part"].combine_chunks().to_numpy()
-    order = np.argsort(parts, kind="stable")
-    sorted_tbl = tbl.take(pa.array(order)).select(["url"])
-    sp = parts[order]
-    _uniq, starts = np.unique(sp, return_index=True)
-    starts = starts.tolist() + [n]
-    n_blocks = max(1, min(n_blocks, len(starts) - 1))
+    nz = np.nonzero(counts)[0]
+    n_blocks = max(1, min(n_blocks, len(nz)))
     target = max(1, n // n_blocks)
-    out: list[pa.Table] = []
-    block_start = starts[0]
-    for i in range(1, len(starts)):
-        if (
-            starts[i] - block_start >= target
-            and len(out) < n_blocks - 1
-        ) or i == len(starts) - 1:
-            out.append(sorted_tbl.slice(block_start, starts[i] - block_start))
-            block_start = starts[i]
-    if block_start < n:
-        out.append(sorted_tbl.slice(block_start, n - block_start))
-    # largest blocks first: tasks dispatch in order, so the straggler
-    # tail of each wave shrinks to the smallest blocks
-    return sorted(
-        (b for b in out if b.num_rows),
-        key=lambda b: b.num_rows,
-        reverse=True,
-    )
+    out: list[tuple[int, int, int]] = []
+    lo = 0
+    acc = 0
+    for i, p in enumerate(nz):
+        acc += int(counts[p])
+        last = i == len(nz) - 1
+        if (acc >= target and len(out) < n_blocks - 1) or last:
+            hi = int(counts.shape[0] - 1) if last else int(p)
+            out.append((lo, hi, acc))
+            lo = int(p) + 1
+            acc = 0
+    return sorted(out, key=lambda r: r[2], reverse=True)
 
 
 class CrawlEngine:
@@ -135,6 +133,7 @@ class CrawlEngine:
         *,
         n_host_shards: int = 4,
         n_seen_shards: int = 4,
+        n_frontier_shards: int | None = None,  # default: n_seen_shards
         fetch_concurrency: int = 4,  # retained: floor on wave block count
         fetch_batch_size: int = 256,
         actor_num_cpus: float = 0,  # >0 at bench/cluster scale (see actors.py)
@@ -168,12 +167,33 @@ class CrawlEngine:
         ]
         self.n_seen = n_seen_shards
         self.seen_shards = [seen_cls.remote(i) for i in range(n_seen_shards)]
+        nf = n_frontier_shards or n_seen_shards
+        front_cls = (
+            FrontierShard.options(num_cpus=actor_num_cpus)
+            if actor_num_cpus
+            else FrontierShard
+        )
+        self.frontier_shards = [
+            front_cls.remote(i, nf, N_FRONTIER_PARTS) for i in range(nf)
+        ]
+        self._f_bounds = [
+            (s + 1) * N_FRONTIER_PARTS // nf for s in range(nf)
+        ]
         self.waves: list[WaveStats] = []
         self.pages_total = 0
         self.wave_idx = 0
-        self.frontier: pa.Array | list = []
+        import numpy as np
+
+        self.part_counts = np.zeros(N_FRONTIER_PARTS, dtype=np.int64)
+        self.frontier_total = 0
         self.host_counts: dict[str, int] = {}  # committed (wave-start) view
         self._hn_keys: dict[str, int] = {}  # hostname → key64 memo
+
+    @property
+    def frontier(self) -> int:
+        """Row count of the committed frontier (the URLs themselves
+        live in the FrontierShards; truthiness = non-empty)."""
+        return self.frontier_total
 
     def _counts_arrays(self):
         """Wave-start hostname counts as sorted (key64, count) numpy
@@ -261,15 +281,15 @@ class CrawlEngine:
             ]
         )
         ray.get([s.reconcile.remote() for s in self.seen_shards])
-        self.frontier = normalized
+        self._set_frontier_from_table(self._partition_table(normalized))
         return normalized
 
     # -- frontier representation ----------------------------------------------
 
     def _partition_table(self, urls) -> pa.Table:
-        """(url, part) frontier table for the cold paths (seeds, queue
-        refill, checkpoint resume without a part column) — the steady
-        state gets parts assigned inside the wave tasks."""
+        """(url, part) table for the cold driver-side paths (seeds,
+        legacy checkpoint resume) — the steady state gets parts
+        assigned inside the wave tasks."""
         urls = list(urls)
         parts = [
             part_of_hostname(_hostname(u), N_FRONTIER_PARTS) for u in urls
@@ -281,13 +301,44 @@ class CrawlEngine:
             }
         )
 
-    def _frontier_table(self) -> pa.Table:
-        f = self.frontier
-        if isinstance(f, pa.Table):
-            return f
-        if isinstance(f, (pa.Array, pa.ChunkedArray)):
-            return self._partition_table(f.to_pylist())
-        return self._partition_table(f)
+    def _commit_frontier(self) -> None:
+        """Barrier half: promote the shards' push buffers to the next
+        frontier; the driver keeps only the P-int count vector."""
+        import numpy as np
+
+        counts = ray.get(
+            [fs.commit.remote() for fs in self.frontier_shards]
+        )
+        self.part_counts = np.sum(counts, axis=0)
+        self.frontier_total = int(self.part_counts.sum())
+
+    def _push_frontier_table(self, tbl: pa.Table) -> None:
+        """Route (url, part) rows to their owning shards — one
+        vectorized owner assignment — WITHOUT committing."""
+        import numpy as np
+
+        parts = tbl["part"].combine_chunks().to_numpy()
+        owner = np.searchsorted(self._f_bounds, parts, side="right")
+        pushes = []
+        for s, fs in enumerate(self.frontier_shards):
+            m = owner == s
+            if m.any():
+                pushes.append(
+                    fs.push.remote(tbl.take(pa.array(np.nonzero(m)[0])))
+                )
+        ray.get(pushes)
+
+    def _set_frontier_from_table(self, tbl: pa.Table) -> None:
+        """Cold-path frontier load (seeds, legacy resume): push + commit."""
+        self._push_frontier_table(tbl)
+        self._commit_frontier()
+
+    def frontier_table(self) -> pa.Table:
+        """The committed frontier pulled back to the driver —
+        CHECKPOINT/TEST path only (the crawl itself never does this)."""
+        return pa.concat_tables(
+            ray.get([fs.pull_all.remote() for fs in self.frontier_shards])
+        )
 
     def _n_blocks(self, n_rows: int) -> int:
         cpus = int(ray.cluster_resources().get("CPU", 4))
@@ -313,20 +364,16 @@ class CrawlEngine:
         stats = WaveStats(wave=k, t_ms=t_k)
         wall0 = time.time()
 
-        prepared = getattr(self, "_prepared", None)
-        if prepared is not None and prepared[0] is self.frontier:
-            blocks = prepared[1]  # built during the previous barrier
-        else:
-            frontier_tbl = self._frontier_table()
-            blocks = _blocks_from_partitions(
-                frontier_tbl, self._n_blocks(frontier_tbl.num_rows)
-            )
-        self._prepared = None
+        import numpy as np
 
+        ranges = _ranges_from_counts(
+            self.part_counts, self._n_blocks(self.frontier_total)
+        )
         stage = make_wave_stage(
             self.cfg_ref,
             self.host_shards,
             self.seen_shards,
+            self.frontier_shards,
             ray.put(self._counts_arrays()),
             p.max_pages_per_host,
             k,
@@ -337,8 +384,13 @@ class CrawlEngine:
         )
         t_split = time.time()
         contrib_tbl = CONTRIB_SCHEMA.empty_table()
-        if blocks:
-            out_ds = ray.data.from_arrow(blocks).map_batches(
+        if ranges:
+            specs = [
+                pa.table({"lo": pa.array([lo], pa.int32()),
+                          "hi": pa.array([hi], pa.int32())})
+                for lo, hi, _rows in ranges
+            ]
+            out_ds = ray.data.from_arrow(specs).map_batches(
                 stage, batch_format="pyarrow", batch_size=None
             )
             batches = list(
@@ -357,30 +409,21 @@ class CrawlEngine:
             )
 
         stats["fetched"] = int(
-            pc.sum(pc.equal(kind_col, "fetched").cast(pa.int64())).as_py() or 0
+            np.sum([int(v) for v in _of("fetched_n").to_pylist()])
         )
         if os.environ.get("CRAWL_STAGE_TIMING"):
             stats["stage_timings"] = _of("timing").to_pylist()
-        # next frontier: raw ∪ survivors ∪ redirects, kept PARTITIONED
-        # and with duplicates — each next-wave block dedups itself
-        nxt_tbl = contrib_tbl.filter(
-            pc.is_in(
-                kind_col,
-                value_set=pa.array(["raw", "survivor", "redirect"], pa.string()),
-            )
-        ).select(["url", "part"])
         stats["t_driver_arrow"] = round(time.time() - t_drv, 3)
         t_bar = time.time()
-        # wave barrier: commit buffered state, refresh committed counts
+        # wave barrier: commit buffered state, refresh committed counts;
+        # the frontier commit (buffer → next frontier, counts back) runs
+        # concurrently with the seen/host barriers
         record = self.record_waves
+        commit_refs = [fs.commit.remote() for fs in self.frontier_shards]
         recon_refs = [s.reconcile.remote(record) for s in self.seen_shards]
         end_refs = [s.end_wave.remote() for s in self.host_shards]
-        # build the NEXT wave's blocks while the shards reconcile (the
-        # driver would otherwise idle inside these ray.get calls)
-        self._prepared = (
-            nxt_tbl,
-            _blocks_from_partitions(nxt_tbl, self._n_blocks(nxt_tbl.num_rows)),
-        )
+        self.part_counts = np.sum(ray.get(commit_refs), axis=0)
+        self.frontier_total = int(self.part_counts.sum())
         recon = ray.get(recon_refs)
         ends = ray.get(end_refs)
         stats["throttled"] = 0
@@ -409,35 +452,50 @@ class CrawlEngine:
             stats["enqueued_urls"] = sorted(
                 pc.unique(_of("survivor")).to_pylist()
             )
-            stats["frontier_out"] = _sorted_unique(nxt_tbl["url"]).to_pylist()
+            stats["frontier_out"] = _sorted_unique(
+                self.frontier_table()["url"]
+            ).to_pylist()
             stats["visited_added_urls"] = sorted(
                 u for r in recon for u in r["new_visited_urls"]
             )
         stats["t_wall"] = round(time.time() - wall0, 3)
         self.waves.append(stats)
         self.wave_idx += 1
-        self.frontier = nxt_tbl
         if self.checkpoint_dir:
             self._checkpoint(stats)
-        return nxt_tbl
+        return self.frontier_total
 
     # -- queue refill / termination (Crawler.java:131-149) --------------------
 
-    def _refill(self) -> pa.Table:
-        tables = ray.get([s.queue_contents.remote() for s in self.seen_shards])
-        urls = pa.concat_arrays(
-            [t["url"].combine_chunks() for t in tables if t.num_rows]
-        ) if any(t.num_rows for t in tables) else pa.array([], pa.string())
-        return self._partition_table(_sorted_unique(urls).to_pylist())
+    def _refill(self) -> int:
+        """Queue → frontier refill, STREAMED shard-to-shard: each
+        SeenShard builds its (url, part) queue table (hostname hashing
+        runs in the actor, parallel across shards) and the table ships
+        by object ref straight into every FrontierShard's
+        ``push_routed`` — the driver never touches a queue row.  Queues
+        are key-sharded so shards hold disjoint URLs; blocks dedup
+        themselves, exactly as the r2 driver-side unique allowed."""
+        q_refs = [
+            s.queue_with_parts.remote(N_FRONTIER_PARTS)
+            for s in self.seen_shards
+        ]
+        ray.get(
+            [
+                fs.push_routed.remote(qr)
+                for qr in q_refs
+                for fs in self.frontier_shards
+            ]
+        )
+        self._commit_frontier()
+        return self.frontier_total
 
     def run(self, seeds: list[str] | None = None) -> dict:
         self.seed(seeds)
         while self.wave_idx < self.params.max_waves:
             if self.pages_total >= self.params.target_pages:
                 break
-            if len(self.frontier) == 0:
-                self.frontier = self._refill()
-                if len(self.frontier) == 0:
+            if self.frontier_total == 0:
+                if self._refill() == 0:
                     break
             self.run_wave()
         return self.light_summary()
@@ -549,9 +607,13 @@ class CrawlEngine:
             pq.write_table(ct, os.path.join(tmp, f"counts-{i:03d}.parquet"))
         for i, st in enumerate(seen_tbls):
             pq.write_table(st, os.path.join(tmp, f"seen-{i:03d}.parquet"))
-        pq.write_table(
-            self._frontier_table(), os.path.join(tmp, "frontier.parquet")
-        )
+        # frontier: one parquet per shard slice, streamed shard-by-shard
+        # (peak driver memory = one shard's slice, not the frontier)
+        for i, fs in enumerate(self.frontier_shards):
+            pq.write_table(
+                ray.get(fs.pull_all.remote()),
+                os.path.join(tmp, f"frontier-{i:03d}.parquet"),
+            )
         with open(os.path.join(tmp, "head.json"), "w") as f:
             json.dump(
                 {
@@ -597,12 +659,21 @@ class CrawlEngine:
         assert head["n_seen_shards"] == self.n_seen
         self.wave_idx = head["wave_idx"]
         self.pages_total = head["pages_total"]
-        ft = pq.read_table(os.path.join(d, "frontier.parquet"))
-        self.frontier = (
-            ft.select(["url", "part"])
-            if "part" in ft.schema.names
-            else self._partition_table(ft["url"].to_pylist())
+        shard_files = sorted(
+            f for f in os.listdir(d)
+            if f.startswith("frontier-") and f.endswith(".parquet")
         )
+        if shard_files:
+            for f in shard_files:  # streamed: one shard slice at a time
+                self._push_frontier_table(pq.read_table(os.path.join(d, f)))
+            self._commit_frontier()
+        else:  # legacy single-file checkpoint
+            ft = pq.read_table(os.path.join(d, "frontier.parquet"))
+            self._set_frontier_from_table(
+                ft.select(["url", "part"])
+                if "part" in ft.schema.names
+                else self._partition_table(ft["url"].to_pylist())
+            )
         calls = []
         for i, s in enumerate(self.host_shards):
             ht = pq.read_table(os.path.join(d, f"hosts-{i:03d}.parquet"))
@@ -622,9 +693,8 @@ class CrawlEngine:
         while self.wave_idx < self.params.max_waves:
             if self.pages_total >= self.params.target_pages:
                 break
-            if len(self.frontier) == 0:
-                self.frontier = self._refill()
-                if len(self.frontier) == 0:
+            if self.frontier_total == 0:
+                if self._refill() == 0:
                     break
             self.run_wave()
         return self.light_summary()

@@ -77,9 +77,8 @@ DECISION_SCHEMA = pa.schema(
     ]
 )
 
-CONTRIB_SCHEMA = pa.schema(
-    [("url", pa.string()), ("kind", pa.string()), ("part", pa.int32())]
-)
+# metadata/record rows only — frontier rows go task → FrontierShard
+CONTRIB_SCHEMA = pa.schema([("url", pa.string()), ("kind", pa.string())])
 
 
 # Per-worker-process web cache: the config (with the text corpus) is
@@ -264,6 +263,7 @@ def make_wave_stage(
     cfg_ref,
     host_shards: list,
     seen_shards: list,
+    frontier_shards: list,
     counts_ref,
     max_pages_per_host: int,
     wave_idx: int,
@@ -272,15 +272,20 @@ def make_wave_stage(
     n_parts: int,
     record: bool = False,
 ):
-    """The whole wave body for one frontier block: block-local distinct
-    → admission → fetch → page write → link pipeline → enqueue probes →
-    partitioned frontier contributions.
+    """The whole wave body for one frontier block: range pull from the
+    FrontierShards → block-local distinct → admission → fetch → page
+    write → link pipeline → enqueue probes → partitioned frontier
+    contributions PUSHED back to the FrontierShards (async, awaited
+    with the block's other buffered-write acks).
 
-    Blocks arrive hash-partitioned by hostname (complete host groups,
-    possibly with duplicates from multiple source pages/waves) — the
-    global frontier distinct is therefore the UNION of these per-block
-    ``pc.unique`` calls: dedup runs in the parallel tasks, never on the
-    driver.
+    The input batch is a one-row (lo, hi) PART-RANGE SPEC, not URL
+    rows: the task pulls its committed frontier slice directly from the
+    owning shard(s), so frontier rows move task → actor → task and the
+    driver holds only the per-part count vector.  A range of whole
+    partitions holds complete host groups by construction (partition
+    key = hostname hash), and the global frontier distinct is the UNION
+    of the per-block ``pc.unique`` calls: dedup runs in the parallel
+    tasks, never on the driver.
 
     RPC overlap: ``buffer_complete`` / ``buffer_saved`` are fired
     without waiting and awaited only at the end of the block (they
@@ -297,6 +302,12 @@ def make_wave_stage(
 
     n_host = len(host_shards)
     n_seen = len(seen_shards)
+    n_front = len(frontier_shards)
+    # shard s owns parts [s*P/S, (s+1)*P/S); owner(p) = first shard
+    # whose upper boundary exceeds p
+    f_bounds = np.array(
+        [(s + 1) * n_parts // n_front for s in range(n_front)], dtype=np.int64
+    )
 
     def _counts_of(hostnames: list[str], ck, cv) -> "np.ndarray":
         if len(ck) == 0 or not hostnames:
@@ -317,9 +328,21 @@ def make_wave_stage(
         import time as _time
 
         _t0 = _time.time()
+        # fire the frontier range pull FIRST so the RPC is in flight
+        # while the per-process web cache warms
+        lo = batch["lo"][0].as_py()
+        hi = batch["hi"][0].as_py()
+        s0 = int(np.searchsorted(f_bounds, lo, side="right"))
+        s1 = int(np.searchsorted(f_bounds, hi, side="right"))
+        pull_refs = [
+            frontier_shards[s].pull.remote(lo, hi)
+            for s in range(s0, min(s1, n_front - 1) + 1)
+        ]
         web = web_for_ref(cfg_ref)
         _t_web = _time.time()
-        urls = pc.unique(batch["url"].combine_chunks()).to_pylist()
+        pulled = pa.concat_tables(ray.get(pull_refs))
+        _t_pull = _time.time()
+        urls = pc.unique(pulled["url"].combine_chunks()).to_pylist()
         if not urls:
             return CONTRIB_SCHEMA.empty_table()
 
@@ -401,8 +424,9 @@ def make_wave_stage(
 
         contrib_urls: list[str] = []
         contrib_kinds: list[str] = []
-        contrib_parts: list[int] = []
         part_memo: dict[str, int] = {}
+        f_urls: list[str] = []  # next-wave frontier rows (pushed to the
+        f_parts: list[int] = []  # FrontierShards, never to the driver)
 
         def part_of(hn: str) -> int:
             p = part_memo.get(hn)
@@ -410,10 +434,14 @@ def make_wave_stage(
                 p = part_memo[hn] = ref_hash_and_key64(hn)[1] % n_parts
             return p
 
-        def emit(url: str, kind: str, hn: str | None = None) -> None:
+        def emit(url: str, kind: str) -> None:
+            # metadata/record row — O(tasks + record-mode URLs) only
             contrib_urls.append(url)
             contrib_kinds.append(kind)
-            contrib_parts.append(0 if hn is None else part_of(hn))
+
+        def femit(url: str, hn: str) -> None:
+            f_urls.append(url)
+            f_parts.append(part_of(hn))
 
         if record:
             # passthrough rows (record mode only — tests): every
@@ -437,7 +465,7 @@ def make_wave_stage(
             _t_fetch = _time.time()
             pages = ft["pages"]
             for t in ft["redirects"]:
-                emit(t, "redirect", hostname(t))
+                femit(t, hostname(t))
             if record:
                 for u in ft["dropped_urls"]:
                     emit(u, "dropped")
@@ -488,10 +516,12 @@ def make_wave_stage(
                     order.append(idxs)
                 # work that does NOT depend on the probe results — the
                 # fetched rows + raw-href dedup — overlaps the probes
-                for u in p_urls:
-                    emit(u, "fetched")
+                emit(str(len(p_urls)), "fetched_n")
+                if record:
+                    for u in p_urls:
+                        emit(u, "fetched")
                 # raw hrefs repeat heavily across pages (popular link
-                # targets) — batch-local dedup before the driver pull;
+                # targets) — batch-local dedup before the shard push;
                 # the frontier is globally distinct anyway
                 raw_seen: set[str] = set()
                 for links in raw:
@@ -499,7 +529,7 @@ def make_wave_stage(
                         if href in raw_seen:
                             continue
                         raw_seen.add(href)
-                        emit(href, "raw", hostname(href))
+                        femit(href, hostname(href))
                 _t_preprobe = _time.time()
                 probe_results = ray.get(probe_calls)
                 _t_probe = _time.time()
@@ -509,7 +539,28 @@ def make_wave_stage(
                     for i in idxs[oks]:
                         if c_urls[i] not in surv_seen:
                             surv_seen.add(c_urls[i])
-                            emit(c_urls[i], "survivor", c_hosts[i])
+                            femit(c_urls[i], c_hosts[i])
+                            if record:
+                                emit(c_urls[i], "survivor")
+        # push the partitioned next-wave rows to their owning shards —
+        # async, awaited below with the other buffered-write acks
+        if f_urls:
+            fp = np.asarray(f_parts, dtype=np.int64)
+            fu = pa.array(f_urls, pa.string())
+            owner = np.searchsorted(f_bounds, fp, side="right")
+            for s in range(n_front):
+                m = owner == s
+                if not m.any():
+                    continue
+                idx = pa.array(np.nonzero(m)[0])
+                pending.append(
+                    frontier_shards[s].push.remote(
+                        pa.table(
+                            {"url": fu.take(idx),
+                             "part": pa.array(fp[m].astype("int32"))}
+                        )
+                    )
+                )
         if pending:
             ray.get(pending)  # buffered-write acks (overlapped above)
         if timing:
@@ -518,7 +569,8 @@ def make_wave_stage(
             _t_end = _time.time()
             contrib_urls.append(_json.dumps({
                 "web": round(_t_web - _t0, 3),
-                "prep": round(_t_prep - _t_web, 3),
+                "pull_wait": round(_t_pull - _t_web, 3),
+                "prep": round(_t_prep - _t_pull, 3),
                 "admit_wait": round(_t_admit - _t_prep, 3),
                 "fetch": round(_t_fetch - _t_fetch0, 3),
                 "links": round(_t_links - _t_fetch, 3),
@@ -531,12 +583,10 @@ def make_wave_stage(
                 "n_hits": len(hit_urls),
             }))
             contrib_kinds.append("timing")
-            contrib_parts.append(0)
         return pa.table(
             {
                 "url": pa.array(contrib_urls, pa.string()),
                 "kind": pa.array(contrib_kinds, pa.string()),
-                "part": pa.array(contrib_parts, pa.int32()),
             }
         )
 

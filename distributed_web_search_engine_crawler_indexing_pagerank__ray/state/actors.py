@@ -486,6 +486,28 @@ class SeenShard:
         return pa.table({"url_hash": list(self.queue.keys()),
                          "url": list(self.queue.values())})
 
+    def queue_with_parts(self, n_parts: int) -> pa.Table:
+        """Queue URLs with their frontier partition id — the streamed
+        refill source: the hostname-hash loop runs HERE (parallel
+        across shards), and the driver forwards the returned table by
+        object ref straight into FrontierShard.push_routed without
+        ever touching the rows."""
+        from ..functions.urlnorm import hostname as _hostname
+
+        urls = list(self.queue.values())
+        memo: dict[str, int] = {}
+        parts = []
+        for u in urls:
+            hn = _hostname(u)
+            p = memo.get(hn)
+            if p is None:
+                p = memo[hn] = ref_hash_and_key64(hn)[1] % n_parts
+            parts.append(p)
+        return pa.table(
+            {"url": pa.array(urls, pa.string()),
+             "part": pa.array(parts, pa.int32())}
+        )
+
     def seen_contents(self) -> pa.Table:
         return pa.table({"url_hash": list(self.visited.keys()),
                          "url": list(self.visited.values())})
@@ -551,8 +573,94 @@ class SeenShard:
         self.filters.add_batch([key64(u) for u in self.visited.values()])
 
 
+@ray.remote
+class FrontierShard:
+    """One shard of the BFS frontier — the r2→r3 swap that takes the
+    per-wave frontier off the driver (crawl.py module docstring's named
+    scale item): wave tasks PUSH their partitioned (url, part)
+    contributions here asynchronously (awaited with the block's other
+    buffered-write acks), the driver's barrier COMMIT promotes the
+    buffer to the pull-able current frontier and returns only a
+    per-part COUNT vector (n_parts ints), and the next wave's tasks
+    PULL their contiguous part range directly.  Frontier rows therefore
+    move task → actor → task; the driver never holds a URL.
+
+    Sharding is by CONTIGUOUS part range (shard s owns parts
+    [s·P/S, (s+1)·P/S)), so a block's range pull touches ~1 shard.
+    Duplicates survive pushes (blocks dedup themselves, exactly as the
+    r2 driver table allowed); commit sorts by part once (vectorized)
+    so pulls are O(log n) searchsorted slices."""
+
+    def __init__(self, shard_id: int, n_shards: int, n_parts: int):
+        self.lo = shard_id * n_parts // n_shards
+        self.hi = (shard_id + 1) * n_parts // n_shards
+        self.n_parts = n_parts
+        self.buf: list[pa.Table] = []
+        self.cur: pa.Table | None = None
+        self.cur_parts = None  # numpy mirror of cur["part"] for slicing
+
+    def push(self, tbl: pa.Table) -> int:
+        """Buffer next-wave rows (pre-routed to this shard's range)."""
+        if tbl.num_rows:
+            self.buf.append(tbl)
+        return tbl.num_rows
+
+    def push_routed(self, tbl: pa.Table) -> int:
+        """Push from an un-routed source (seeds, queue refill, resume):
+        keep only the rows in this shard's part range."""
+        import pyarrow.compute as pc
+
+        m = pc.and_(
+            pc.greater_equal(tbl["part"], pa.scalar(self.lo)),
+            pc.less(tbl["part"], pa.scalar(self.hi)),
+        )
+        return self.push(tbl.filter(m))
+
+    def commit(self):
+        """Wave barrier: promote the buffer to the current frontier,
+        return this shard's per-part row counts (len n_parts int64)."""
+        import numpy as np
+
+        if self.buf:
+            t = pa.concat_tables(self.buf)
+            parts = t["part"].combine_chunks().to_numpy()
+            order = np.argsort(parts, kind="stable")
+            self.cur = t.take(pa.array(order))
+            self.cur_parts = parts[order]
+        else:
+            self.cur = None
+            self.cur_parts = None
+        self.buf = []
+        if self.cur is None:
+            return np.zeros(self.n_parts, dtype=np.int64)
+        return np.bincount(self.cur_parts, minlength=self.n_parts).astype(
+            np.int64
+        )
+
+    def pull(self, lo: int, hi: int) -> pa.Table:
+        """URLs of the committed frontier with lo <= part <= hi (one
+        searchsorted slice of the part-sorted table)."""
+        import numpy as np
+
+        if self.cur is None:
+            return pa.table({"url": pa.array([], pa.string())})
+        a = int(np.searchsorted(self.cur_parts, lo, side="left"))
+        b = int(np.searchsorted(self.cur_parts, hi, side="right"))
+        return self.cur.slice(a, b - a).select(["url"])
+
+    def pull_all(self) -> pa.Table:
+        """(url, part) of the committed frontier — checkpoint/tests."""
+        if self.cur is None:
+            return pa.table(
+                {"url": pa.array([], pa.string()),
+                 "part": pa.array([], pa.int32())}
+            )
+        return self.cur.select(["url", "part"])
+
+
 __all__ = [
-    "HostShard", "SeenShard", "key64", "shard_of", "ref_hash_and_key64",
+    "HostShard", "SeenShard", "FrontierShard", "key64", "shard_of",
+    "ref_hash_and_key64",
     "D_HIT", "D_MISS", "D_ROBOTS", "D_THROTTLE", "D_NOCAP", "D_NOHOST",
     "COMPLETED_DECISIONS",
 ]
