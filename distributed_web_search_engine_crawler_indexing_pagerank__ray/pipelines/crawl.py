@@ -167,9 +167,16 @@ class CrawlEngine:
         ]
         self.n_seen = n_seen_shards
         self.seen_shards = [seen_cls.remote(i) for i in range(n_seen_shards)]
-        nf = n_frontier_shards or n_seen_shards
+        # frontier shards are BURSTY-idle (one pull burst at wave start,
+        # one commit sort at the barrier, cheap push appends in between)
+        # — unlike the host/seen shards they never sit on the critical
+        # admission path, so they get HALF the shard count and a
+        # quarter-CPU reservation: a full num_cpus=1 per shard would
+        # eat the map-task slot budget (measured: +8 frontier actors at
+        # num_cpus=1 on 32 cpus left 8 task slots and halved pages/s)
+        nf = n_frontier_shards or max(2, n_seen_shards // 2)
         front_cls = (
-            FrontierShard.options(num_cpus=actor_num_cpus)
+            FrontierShard.options(num_cpus=actor_num_cpus * 0.25)
             if actor_num_cpus
             else FrontierShard
         )
