@@ -268,11 +268,17 @@ def run_scaling() -> dict:
     #   - efficiency = MEDIAN of the per-pair ratios; all raw runs are
     #     reported alongside.
     n_rep = int(os.environ.get("BENCH_SCALING_REPEATS", "1"))
-    cooldown = float(os.environ.get("BENCH_SCALING_COOLDOWN", "90"))
-    ceiling = hw_scaling_ceiling(lo, hi)
-    lo_runs, hi_runs, pair_effs = [], [], []
+    cooldown = float(os.environ.get("BENCH_SCALING_COOLDOWN", "150"))
+    lo_runs, hi_runs, pair_effs, pair_ceilings = [], [], [], []
     for rep in range(n_rep):
         order = (lo, hi) if rep % 2 == 0 else (hi, lo)
+        # the ceiling is measured ADJACENT to its pair: this box's
+        # burstable CPU budget decays over a multi-pair session, and a
+        # single start-of-session probe would normalize a depleted
+        # pair by a fresh-machine ceiling (observed: a mid-session
+        # 32-cpu level collapsing 35% while the probe said 0.83)
+        ceiling = hw_scaling_ceiling(lo, hi)
+        pair_ceilings.append(ceiling["hw_ceiling"])
         pair: dict[int, dict] = {}
         for level in order:
             time.sleep(cooldown)
@@ -282,7 +288,9 @@ def run_scaling() -> dict:
         pair_effs.append(
             (pair[hi]["pages_per_sec"] / pair[lo]["pages_per_sec"]) / (hi / lo)
         )
+    norm_effs = [e / c for e, c in zip(pair_effs, pair_ceilings)]
     mid = sorted(pair_effs)[len(pair_effs) // 2]
+    mid_norm = sorted(norm_effs)[len(norm_effs) // 2]
     r_lo = max(lo_runs, key=lambda r: r["pages_per_sec"])
     r_hi = max(hi_runs, key=lambda r: r["pages_per_sec"])
     return {
@@ -299,11 +307,14 @@ def run_scaling() -> dict:
         "scaling_efficiency": round(mid, 3),
         # the platform's own lo→hi ceiling for PERFECTLY parallel
         # pure-CPU work on this box (per-core slowdown under full
-        # load), and the crawl's efficiency normalized by it — the
-        # number comparable to a real N→4N-node criterion where both
-        # cluster sizes run identical per-node hardware
-        **ceiling,
-        "efficiency_vs_hw_ceiling": round(mid / ceiling["hw_ceiling"], 3),
+        # load), measured per pair, and the crawl's efficiency
+        # normalized by its own pair's ceiling — the number comparable
+        # to a real N→4N-node criterion where both cluster sizes run
+        # identical per-node hardware
+        "hw_ceiling_per_pair": pair_ceilings,
+        "hw_ceiling": sorted(pair_ceilings)[len(pair_ceilings) // 2],
+        "normalized_per_pair": [round(e, 3) for e in norm_effs],
+        "efficiency_vs_hw_ceiling": round(mid_norm, 3),
     }
 
 

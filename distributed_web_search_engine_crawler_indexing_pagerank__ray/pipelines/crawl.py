@@ -80,6 +80,70 @@ class WaveStats(dict):
     """Per-wave lineage record (north rule: per-partition metrics)."""
 
 
+def _warm_dataset_executor() -> None:
+    """The FIRST Dataset execution of a Ray session pays ~1.4 s of
+    one-time setup (stats actor, streaming-executor init) that would
+    otherwise land inside wave 0's critical path; run a 1-row no-op
+    pipeline so wave 0 starts on a warm executor.  Fired on a side
+    thread during seeding — it overlaps the seed prep work."""
+    try:
+        ray.data.from_arrow(pa.table({"x": [0]})).map_batches(
+            lambda b: b, batch_format="pyarrow"
+        ).materialize()
+    except Exception:
+        pass  # best-effort: a failed warmup only costs wave-0 latency
+
+
+@ray.remote(num_cpus=1)
+def _seed_stripe(cfg_ref, k0: int, k1: int, step: int) -> pa.Table:
+    """One stripe of the seed-candidate grid (i = k*step for k in
+    [k0, k1)): applies ``SyntheticWeb.seed_urls``'s own candidate rule
+    (countable fetch, i % 23 != 5) and pre-computes the normalized
+    form, reference hash, key64 and frontier partition per candidate.
+    The driver concatenates stripes in k-order, truncates to n_seeds
+    candidates and dedups — bit-identical to the sequential
+    ``seed_urls`` + per-URL driver loop it replaces (~1.8 s of driver
+    time at the 100k-seed bench scale)."""
+    from ..stages.fetch import part_of_hostname, web_for_ref
+
+    web = web_for_ref(cfg_ref)
+    n_docs = web.cfg.n_docs
+    urls: list[str] = []
+    norms: list[str | None] = []
+    hashes: list[str] = []
+    keys: list[int] = []
+    parts: list[int] = []
+    for k in range(k0, k1):
+        i = k * step
+        if i >= n_docs:
+            break
+        if i % 23 == 5:
+            continue
+        u = web.url_of(i)
+        if not web.is_countable_fetch(u):
+            continue
+        urls.append(u)
+        n = normalize_seed_url(u)
+        norms.append(n)
+        if n is None:
+            hashes.append("")
+            keys.append(0)
+            parts.append(0)
+        else:
+            h, key = ref_hash_and_key64(n)
+            hashes.append(h)
+            keys.append(key)
+            parts.append(part_of_hostname(_hostname(n), N_FRONTIER_PARTS))
+    return pa.table(
+        {
+            "norm": pa.array(norms, pa.string()),
+            "url_hash": pa.array(hashes, pa.string()),
+            "key64": pa.array(keys, pa.uint64()),
+            "part": pa.array(parts, pa.int32()),
+        }
+    )
+
+
 def _sorted_unique(arr) -> pa.Array:
     """Distinct + ascending sort of a string array (pyarrow kernels —
     the driver never loops Python over frontier rows)."""
@@ -225,70 +289,97 @@ class CrawlEngine:
     # -- seeding (C1/C2) -----------------------------------------------------
 
     def seed(self, seeds: list[str] | None = None) -> list[str]:
+        import threading
+
+        import numpy as np
+
         from ..stages.fetch import warm_worker
 
         # fire-and-forget worker warmup (package import + web cache)
         # overlapping the seed normalization below; wave 0's map_batches
         # tasks then start on warm processes
+        # one-time Ray Data executor setup off wave 0's critical path,
+        # overlapping the seed prep below
+        warm_exec = threading.Thread(target=_warm_dataset_executor, daemon=True)
+        warm_exec.start()
+        n_seeds = self.params.n_seeds
+        stripe_refs = None
+        if seeds is None and n_seeds > 20_000:
+            # generated-seed bench path: the candidate grid is striped
+            # over ray tasks (the sequential seed_urls + normalize +
+            # partition driver loops cost ~1.8 s at 100k seeds — a fixed
+            # term the 4N parallelism level pays at the same absolute
+            # price as N).  Fired BEFORE the warm_worker fan-out so the
+            # stripes don't queue behind 2×concurrency warm tasks.
+            step = max(1, self.web_cfg.n_docs // max(1, n_seeds * 2))
+            k_max = (self.web_cfg.n_docs + step - 1) // step
+            n_stripes = min(16, max(1, k_max // 4096 + 1))
+            bounds = [k_max * s // n_stripes for s in range(n_stripes + 1)]
+            stripe_refs = [
+                _seed_stripe.remote(self.cfg_ref, bounds[s], bounds[s + 1], step)
+                for s in range(n_stripes)
+            ]
+        # fire-and-forget worker warmup (package import + web cache)
+        # for the workers the stripes don't touch; wave 0's map_batches
+        # tasks then start on warm processes
         self._warm_refs = [
             warm_worker.remote(self.cfg_ref)
             for _ in range(2 * max(2, self.fetch_concurrency))
         ]
-        web = SyntheticWeb(self.web_cfg)
-        raw = seeds if seeds is not None else web.seed_urls(self.params.n_seeds)
-        # normalization + hashing fanned out as plain ray tasks (~2 s of
-        # driver loop at the 100k-seed bench scale otherwise — a fixed
-        # cost the 4N level pays at the same absolute price as N);
-        # first-occurrence dedup order is preserved by merging chunk
-        # results in order.
-        chunk = 20_000
-        if len(raw) > chunk:
-            @ray.remote
-            def _norm(urls: list[str]) -> list[tuple[str, str, int]]:
-                out = []
-                for s in urls:
-                    n = normalize_seed_url(s)
-                    if n is not None:
-                        h, k = ref_hash_and_key64(n)
-                        out.append((n, h, k))
-                return out
-
-            parts = ray.get(
-                [_norm.remote(list(raw[i:i + chunk]))
-                 for i in range(0, len(raw), chunk)]
-            )
-            normalized = []
-            by_shard: dict[int, list[tuple[str, str, int]]] = {}
-            seen: set[str] = set()
-            for part in parts:
-                for u, h, k in part:
-                    if u in seen:
-                        continue
-                    seen.add(u)
-                    normalized.append(u)
-                    by_shard.setdefault(k % self.n_seen, []).append((u, h, k))
+        if stripe_refs is not None:
+            cand = pa.concat_tables(ray.get(stripe_refs)).slice(0, n_seeds)
+            # seed_urls stops at n_seeds candidates — hence the slice
         else:
-            normalized = []
-            seen = set()
-            for s in raw:
-                n = normalize_seed_url(s)
-                if n is not None and n not in seen:
-                    seen.add(n)
-                    normalized.append(n)
-            by_shard = {}
-            for u in normalized:
-                h, k = ref_hash_and_key64(u)
-                by_shard.setdefault(k % self.n_seen, []).append((u, h, k))
-        ray.get(
-            [
-                self.seen_shards[s].probe_and_buffer_enqueue.remote(
-                    [r[0] for r in rows], [r[1] for r in rows], [r[2] for r in rows]
-                )
-                for s, rows in by_shard.items()
+            raw = (
+                seeds
+                if seeds is not None
+                else SyntheticWeb(self.web_cfg).seed_urls(n_seeds)
+            )
+            norms = [normalize_seed_url(s) for s in raw]
+            hk = [
+                ("", 0, 0) if n is None
+                else (*ref_hash_and_key64(n),
+                      part_of_hostname(_hostname(n), N_FRONTIER_PARTS))
+                for n in norms
             ]
-        )
+            cand = pa.table(
+                {
+                    "norm": pa.array(norms, pa.string()),
+                    "url_hash": pa.array([r[0] for r in hk], pa.string()),
+                    "key64": pa.array([r[1] for r in hk], pa.uint64()),
+                    "part": pa.array([r[2] for r in hk], pa.int32()),
+                }
+            )
+        # vectorized first-occurrence dedup in candidate order (the
+        # reference's insertion-ordered HashSet semantics)
+        import pandas as pd
+
+        norm_s = cand["norm"].to_pandas()
+        keep = norm_s.notna() & ~norm_s.duplicated(keep="first")
+        cand = cand.take(pa.array(np.nonzero(keep.to_numpy())[0]))
+        normalized = cand["norm"].to_pylist()
+        keys = cand["key64"].to_numpy()
+        shard_of = (keys % np.uint64(self.n_seen)).astype(np.int64)
+        url_arr = cand["norm"].combine_chunks()
+        hash_arr = cand["url_hash"].combine_chunks()
+        probes = []
+        for s in range(self.n_seen):
+            m = shard_of == s
+            if not m.any():
+                continue
+            idx = pa.array(np.nonzero(m)[0])
+            probes.append(
+                self.seen_shards[s].probe_enqueue_arrays.remote(
+                    url_arr.take(idx), hash_arr.take(idx), keys[m]
+                )
+            )
+        ray.get(probes)
         ray.get([s.reconcile.remote() for s in self.seen_shards])
-        self._set_frontier_from_table(self._partition_table(normalized))
+        self._push_frontier_table(
+            pa.table({"url": url_arr, "part": cand["part"].combine_chunks()})
+        )
+        self._commit_frontier()
+        warm_exec.join(timeout=30)
         return normalized
 
     # -- frontier representation ----------------------------------------------
