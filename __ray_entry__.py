@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": similarity.q_knn_bruteforce,
         "knn_lsh": similarity.q_knn_lsh,
         "knn_ivf": similarity.q_knn_ivf,
+        "knn_ivf_flat": similarity.q_knn_ivf_flat,
         "embedding_stats": similarity.q_embedding_stats,
         # stream-shaped
         "approx_distinct_users": events.q_approx_distinct_users,
@@ -140,6 +141,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_lsh": dedup.sql_dedup_embedding_lsh(),
         "knn_bruteforce": similarity.sql_knn_bruteforce(),
         "knn_lsh": similarity.sql_knn_lsh(),
+        "knn_ivf_flat": similarity.sql_knn_ivf_flat(),
         "embedding_stats": similarity.SQL_EMBEDDING_STATS,
         "approx_distinct_users": events.sql_approx_distinct_users(),
         "window_tumbling": events.SQL_WINDOW_TUMBLING,

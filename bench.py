@@ -47,6 +47,7 @@ QUERY_NAMES = [
     "knn_bruteforce",
     "knn_lsh",
     "knn_ivf",
+    "knn_ivf_flat",
     "window_tumbling",
     "sessionize",
     "asof_join",

@@ -385,6 +385,18 @@ def test_knn_ivf_recall_on_planted_clusters(tmp_path):
     assert np.mean(recalls) >= 0.9, recalls
 
 
+def test_knn_ivf_flat_sql_parity(con):
+    """knn_ivf_flat is HASH-EXACT vs DuckDB: hash-sampled centroids,
+    integer-quantized dot-product cell assignment and probing are pure
+    integer arithmetic, so the oracle recomputes cells, probes, the
+    candidate set and the rounded-cosine top-k bit for bit."""
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines import similarity
+
+    _assert_matches_sql(
+        similarity.q_knn_ivf_flat(SF), con, similarity.sql_knn_ivf_flat()
+    )
+
+
 def test_knn_ivf_fixture_sanity():
     """Shape + score consistency on the near-random sf fixture."""
     from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines import similarity
