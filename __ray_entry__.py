@@ -29,6 +29,7 @@ from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines impo
     search_pipeline,
     similarity,
     textpipe,
+    traindata,
 )
 
 
@@ -60,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "intersection": relational.q_intersection,
         "anti_join": relational.q_anti_join,
         "grouped_topk": relational.q_grouped_topk,
+        "revenue_by_segment": relational.q_revenue_by_segment,
         "sample": relational.q_sample,
         "topk": relational.q_topk,
         "count": relational.q_count,
@@ -72,6 +74,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample": textpipe.q_mixture_sample,
         "top_tokens": textpipe.q_top_tokens,
         "text_stats": textpipe.q_text_stats,
+        # training-data curation (round-3 additions)
+        "contamination_check": traindata.q_contamination_check,
+        "repetition_signals": traindata.q_repetition_signals,
+        "lm_unigram_score": traindata.q_lm_unigram_score,
         # dedup family (training-data additions)
         "dedup_exact": dedup.q_dedup_exact,
         "dedup_clusters": dedup.q_dedup_clusters,
@@ -97,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_users": events.q_top_users,
         "keep_latest": events.q_keep_latest,
         "grouped_quantiles": events.q_grouped_quantiles,
+        "moving_average": events.q_moving_average,
         # the north-rule crawl + downstream jobs (rows-only; exact
         # reference-semantics oracles run in tests/)
         "crawl_pages": search_pipeline.q_crawl_pages,
@@ -121,6 +128,7 @@ def oracle_sql() -> dict[str, str]:
         "intersection": relational.SQL_INTERSECTION,
         "anti_join": relational.SQL_ANTI_JOIN,
         "grouped_topk": relational.SQL_GROUPED_TOPK,
+        "revenue_by_segment": relational.SQL_REVENUE_BY_SEGMENT,
         "sample": relational.SQL_SAMPLE,
         "topk": relational.SQL_TOPK,
         "count": relational.SQL_COUNT,
@@ -132,6 +140,9 @@ def oracle_sql() -> dict[str, str]:
         "mixture_sample": textpipe.SQL_MIXTURE_SAMPLE,
         "top_tokens": textpipe.SQL_TOP_TOKENS,
         "text_stats": textpipe.sql_text_stats(),
+        "contamination_check": traindata.SQL_CONTAMINATION_CHECK,
+        "repetition_signals": traindata.SQL_REPETITION_SIGNALS,
+        "lm_unigram_score": traindata.SQL_LM_UNIGRAM_SCORE,
         "dedup_exact": dedup.SQL_DEDUP_EXACT,
         "dedup_ngram": dedup.SQL_DEDUP_NGRAM,
         "dedup_simhash": dedup.SQL_DEDUP_SIMHASH,
@@ -153,4 +164,5 @@ def oracle_sql() -> dict[str, str]:
         "top_users": events.SQL_TOP_USERS,
         "keep_latest": events.SQL_KEEP_LATEST,
         "grouped_quantiles": events.SQL_GROUPED_QUANTILES,
+        "moving_average": events.SQL_MOVING_AVERAGE,
     }

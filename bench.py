@@ -63,6 +63,11 @@ QUERY_NAMES = [
     "window_late_data",
     "top_tokens",
     "embedding_stats",
+    "contamination_check",
+    "repetition_signals",
+    "lm_unigram_score",
+    "revenue_by_segment",
+    "moving_average",
 ]
 
 

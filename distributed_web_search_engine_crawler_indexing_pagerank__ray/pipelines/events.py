@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -752,4 +753,98 @@ SELECT event_type, date_trunc('hour', ts) AS window_start,
 FROM w
 WHERE ts >= wm - INTERVAL {LATE_ALLOWED_S} SECOND
 GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+
+# -- per-key ordered moving average (rolling window) --------------------------
+
+MA_WINDOW = 3  # trailing rows, current inclusive
+
+
+def q_moving_average(sf_dir: str):
+    """Per-user trailing 3-event moving average of ``value`` (ordered by
+    ``(ts, event_id)``), reporting each user's final value — the
+    ordered-per-key rolling aggregate Ray Data has no primitive for.
+
+    Shape: bucket users with ``user_id & (B-1)``, one ``groupby(bucket)``
+    shuffle, then ONE vectorized kernel per bucket: sort the bucket by
+    (user, ts, id), cumulative-sum ``value`` in integer micros, and take
+    ``cum[i] - cum[i-w]`` with the window clipped at each user's run
+    start (pure numpy — no per-user Python loop, no pandas
+    ``groupby.rolling``).  Integer micros (``floor(v*1e6 + 0.5)``) keep
+    the 3-term sums order-independent, so the rounded result is
+    hash-exact vs the SQL window-function oracle."""
+    NB = 32
+    ev = _events(sf_dir, ["user_id", "ts", "event_id", "value"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        k = pc.cast(t["user_id"], pa.int64())
+        v = pc.cast(
+            pc.floor(
+                pc.add(pc.multiply(t["value"], pa.scalar(1e6)), pa.scalar(0.5))
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "bucket": pc.cast(pc.bit_wise_and(k, pa.scalar(NB - 1)), pa.int32()),
+                "user_id": k,
+                "ts": t["ts"],
+                "event_id": t["event_id"],
+                "v": v,
+            }
+        )
+
+    def ma_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        v = g["v"].to_numpy(dtype=np.int64)
+        n = len(g)
+        # positions where a new user's run starts, and each row's offset
+        # into its user's run
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = u[1:] != u[:-1]
+        pos = np.arange(n)
+        run_start = np.maximum.accumulate(np.where(new, pos, 0))
+        off = pos - run_start
+        csum = np.concatenate([[0], np.cumsum(v)])
+        w = np.minimum(off + 1, MA_WINDOW)
+        s = csum[pos + 1] - csum[pos + 1 - w]
+        # floor(x+0.5) in micro space, not round(): half-up on both
+        # sides (numpy round is banker's, the SQL oracle would be
+        # half-away) — same belt as the late-data window kernel
+        ma = np.floor(s / w + 0.5) / 1e6
+        # final row per user = last row of each run
+        last = np.empty(n, dtype=bool)
+        last[:-1] = new[1:]
+        last[-1] = True
+        return pd.DataFrame(
+            {"user_id": u[last], "ma3": ma[last]}
+        ).astype({"user_id": "int64", "ma3": "float64"})
+
+    return (
+        ev.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(ma_bucket, batch_format="pandas")
+    )
+
+
+SQL_MOVING_AVERAGE = f"""
+WITH e AS (
+    SELECT user_id, ts, event_id,
+           CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v
+    FROM events
+), w AS (
+    SELECT user_id,
+           sum(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN {MA_WINDOW - 1} PRECEDING AND CURRENT ROW) AS s,
+           count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN {MA_WINDOW - 1} PRECEDING AND CURRENT ROW) AS c,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+               AS rn
+    FROM e
+)
+SELECT user_id, floor(s / c + 0.5) / 1000000.0 AS ma3
+FROM w WHERE rn = 1
 """

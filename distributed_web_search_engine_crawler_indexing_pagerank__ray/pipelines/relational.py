@@ -524,3 +524,130 @@ FROM (
     FROM orders
 ) WHERE rn <= {TOPK_PER_GROUP}
 """
+
+
+# -- 3-table star join: broadcast dims + shuffled fact ------------------------
+
+
+def q_revenue_by_segment(sf_dir: str):
+    """customer ⋈ orders ⋈ lineitem → revenue per market segment for
+    finished ('F') orders.  The star-join plan for a 100-TB fact table:
+
+    1. the small dimension (customer → segment) is broadcast ONCE via
+       ``ray.put`` and applied with vectorized ``pc.index_in`` inside
+       ``map_batches`` — no shuffle for the dim join;
+    2. the fact table (lineitem) pre-aggregates to one row per orderkey
+       per block (revenue in INTEGER cents — ``floor(x*100 + 0.5)`` on
+       both sides keeps the sum order-independent and hash-exact);
+    3. orders(+segment) and the reduced fact co-locate via the shared
+       ``key & (B-1)`` bucketing and hash-join per bucket;
+    4. a tiny ``groupby(segment)`` finishes.
+
+    The status filter is pushed into the parquet read (only 'F' order
+    row groups leave storage)."""
+    import pandas as pd
+    import pyarrow.dataset as pads
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    cust_tbl = pa.concat_tables(
+        [b for b in cust.iter_batches(batch_format="pyarrow")],
+        promote_options="default",
+    )
+    cust_ref = ray.put(
+        (cust_tbl["c_custkey"].combine_chunks(), cust_tbl["c_mktsegment"].combine_chunks())
+    )
+
+    # the filter column must stay in the projection for the explicit
+    # (metadata-free, hashable) schema to be valid; tag_orders drops it
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderstatus"],
+        filter=pads.field("o_orderstatus") == "F",
+    )
+    lineitem = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        keys, segs = ray.get(cust_ref)
+        idx = pc.index_in(t["o_custkey"], value_set=keys)
+        seg = pc.take(segs, idx)
+        k = t["o_orderkey"]
+        return pa.table(
+            {
+                "bucket": pc.cast(pc.bit_wise_and(k, pa.scalar(JOIN_BUCKETS - 1)), pa.int32()),
+                "key": k,
+                "side": pa.array(["o"] * t.num_rows, pa.string()),
+                "segment": seg,
+                "cents": pa.nulls(t.num_rows, pa.int64()),
+            }
+        )
+
+    def tag_lineitem(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(rev, pa.scalar(100.0)), pa.scalar(0.5))),
+            pa.int64(),
+        )
+        # per-block partial: one row per orderkey seen in the block
+        part = (
+            pa.table({"key": t["l_orderkey"], "cents": cents})
+            .group_by("key")
+            .aggregate([("cents", "sum")])
+        )
+        k = part["key"]
+        return pa.table(
+            {
+                "bucket": pc.cast(pc.bit_wise_and(k, pa.scalar(JOIN_BUCKETS - 1)), pa.int32()),
+                "key": k,
+                "side": pa.array(["l"] * part.num_rows, pa.string()),
+                "segment": pa.nulls(part.num_rows, pa.string()),
+                "cents": part["cents_sum"],
+            }
+        )
+
+    tagged = orders.map_batches(tag_orders, batch_format="pyarrow").union(
+        lineitem.map_batches(tag_lineitem, batch_format="pyarrow")
+    )
+
+    def join_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
+        left = g[g["side"] == "o"][["key", "segment"]]
+        right = g[g["side"] == "l"][["key", "cents"]]
+        m = right.merge(left, on="key", how="inner")
+        if len(m) == 0:
+            return pd.DataFrame(
+                {"segment": pd.Series(dtype="str"),
+                 "cents": pd.Series(dtype="int64")}
+            )
+        out = m.groupby("segment", as_index=False)["cents"].sum()
+        return out.astype({"cents": "int64"})
+
+    partial = tagged.groupby("bucket").map_groups(join_bucket, batch_format="pandas")
+    out = partial.groupby("segment").aggregate(Sum("cents", alias_name="c"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_mktsegment": t["segment"],
+                "revenue": pc.round(
+                    pc.divide(pc.cast(t["c"], pa.float64()), pa.scalar(100.0)),
+                    ndigits=2,
+                ),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_REVENUE_BY_SEGMENT = """
+SELECT c.c_mktsegment,
+       round(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                      AS BIGINT)) / 100.0, 2) AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderstatus = 'F'
+GROUP BY c.c_mktsegment
+"""

@@ -1,0 +1,377 @@
+"""Training-data-curation operators (round-3 additions): benchmark
+contamination check, repetition quality signals, unigram LM scoring.
+
+These extend the reference's text jobs (``src/jobs/Indexer.java``,
+``src/jobs/TfIdf.java``) with the curation steps a 100-TB pretraining
+pipeline runs between crawl and training.  All three are hash-exact
+against DuckDB oracles: float-order-dependence is avoided by doing the
+per-doc reductions in integers (counts / count-products) and applying
+the identical rounded double division on both sides.
+
+Tokenization here is the raw crawl-side form (lowercase, split
+``[^a-z]+``, drop empty and len>25) WITHOUT the stopword drop — a
+contamination / repetition signal must see function words too; the
+SQL oracles replicate it with ``string_split_regex`` + ``list_filter``.
+
+Scale notes (100 TB):
+- ``contamination_check`` never broadcasts the benchmark gram set: it
+  hash-buckets grams and marks membership inside per-bucket vectorized
+  merges (same partitioned-hash-join shape as ``q_join_shuffle``).
+- ``lm_unigram_score`` joins per-doc word counts to the global
+  frequency table per word-hash bucket — no vocabulary broadcast.
+- ``repetition_signals`` is embarrassingly parallel (one pass, no
+  shuffle).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data.aggregate import Sum
+
+from ..sources.tables import read_parquet_clean
+from ..functions.tokenize import MAX_WORD_LENGTH
+
+GRAM_N = 5  # word-level n-gram order for the contamination check
+BENCH_MOD = 97  # doc_id % BENCH_MOD == 0 marks the "benchmark" set
+NB = 32  # hash buckets for the gram / word partitioned joins
+
+# shared SQL fragment: raw tokens (no stopword drop), as an ordered list
+_SQL_TOKLIST = f"""
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                       w -> w <> '' AND length(w) <= {MAX_WORD_LENGTH}) AS l
+    FROM documents
+"""
+
+
+def _docs(sf_dir: str):
+    return read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+
+def _raw_tokens(text: str) -> list[str]:
+    """Tokenizer used by this module: lowercase, split on non-letters,
+    keep non-empty tokens of len<=25.  NO stopword drop (unlike the
+    Indexer tokenizer) — mirrors ``_SQL_TOKLIST``."""
+    import re
+
+    out = []
+    for tok in re.split(r"[^a-z]+", text.lower()):
+        if tok and len(tok) <= MAX_WORD_LENGTH:
+            out.append(tok)
+    return out
+
+
+# -- benchmark contamination check -------------------------------------------
+
+
+def _gram_table(t: pa.Table) -> pa.Table:
+    """Per-doc DISTINCT word 5-grams, md5-hashed, bucketed by hash."""
+    buckets, ghs, doc_ids = [], [], []
+    for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        toks = _raw_tokens(text or "")
+        seen: set[str] = set()
+        for i in range(len(toks) - GRAM_N + 1):
+            gram = " ".join(toks[i : i + GRAM_N])
+            gh = hashlib.md5(gram.encode()).hexdigest()
+            if gh in seen:
+                continue
+            seen.add(gh)
+            ghs.append(gh)
+            doc_ids.append(doc_id)
+            buckets.append(int(gh[:8], 16) & (NB - 1))
+    return pa.table(
+        {
+            "bucket": pa.array(buckets, pa.int32()),
+            "gh": pa.array(ghs, pa.string()),
+            "doc_id": pa.array(doc_ids, pa.int64()),
+        }
+    )
+
+
+def q_contamination_check(sf_dir: str):
+    """Benchmark-contamination scan: fraction of each document's
+    distinct word 5-grams that also occur in a held-out "benchmark"
+    set (docs with ``doc_id % 97 == 0``).  The decontamination step of
+    a pretraining pipeline (cf. GPT-3 appendix C n-gram overlap).
+
+    Shape: one gram pass over the corpus → per-bucket membership mark
+    (benchmark grams of the bucket vs corpus grams of the bucket, a
+    vectorized ``isin`` — never a broadcast of the benchmark set) →
+    ``groupby(doc_id).sum``.  Returns the 100 most-contaminated
+    non-benchmark docs."""
+    grams = _docs(sf_dir).map_batches(_gram_table, batch_format="pyarrow")
+
+    def mark_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        is_bench = g["doc_id"] % BENCH_MOD == 0
+        bench_ghs = g.loc[is_bench, "gh"].unique()
+        d = g.loc[~is_bench, ["doc_id", "gh"]]
+        if len(d) == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype="int64"),
+                    "n": pd.Series(dtype="int64"),
+                    "hit": pd.Series(dtype="int64"),
+                }
+            )
+        hit = d["gh"].isin(bench_ghs).astype("int64")
+        out = (
+            pd.DataFrame({"doc_id": d["doc_id"], "n": 1, "hit": hit})
+            .groupby("doc_id", as_index=False)
+            .sum()
+        )
+        return out.astype({"doc_id": "int64", "n": "int64", "hit": "int64"})
+
+    per_doc = (
+        grams.groupby("bucket")
+        .map_groups(mark_bucket, batch_format="pandas")
+        .groupby("doc_id")
+        .aggregate(
+            Sum("n", alias_name="n_grams"),
+            Sum("hit", alias_name="n_contaminated"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        # floor(x*1e6 + 0.5)/1e6, not round(): half-up on both sides
+        # (ratios of small ints DO land on exact ties, e.g. 1/128)
+        frac = pc.divide(
+            pc.floor(
+                pc.add(
+                    pc.multiply(
+                        pc.divide(
+                            pc.cast(t["n_contaminated"], pa.float64()),
+                            pc.cast(t["n_grams"], pa.float64()),
+                        ),
+                        pa.scalar(1e6),
+                    ),
+                    pa.scalar(0.5),
+                )
+            ),
+            pa.scalar(1e6),
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_grams": pc.cast(t["n_grams"], pa.int64()),
+                "n_contaminated": pc.cast(t["n_contaminated"], pa.int64()),
+                "contamination_frac": frac,
+            }
+        )
+
+    out = per_doc.map_batches(finish, batch_format="pyarrow")
+    return out.sort(
+        ["contamination_frac", "doc_id"], descending=[True, False]
+    ).limit(100)
+
+
+SQL_CONTAMINATION_CHECK = f"""
+WITH toks AS ({_SQL_TOKLIST}),
+grams AS (
+    SELECT DISTINCT doc_id, md5(array_to_string(l[i:i+{GRAM_N - 1}], ' ')) AS gh
+    FROM toks, unnest(generate_series(1, greatest(len(l) - {GRAM_N - 1}, 0))) AS t(i)
+),
+bench AS (SELECT DISTINCT gh FROM grams WHERE doc_id % {BENCH_MOD} = 0),
+agg AS (
+    SELECT g.doc_id,
+           count(*) AS n_grams,
+           count(b.gh) AS n_contaminated
+    FROM grams g LEFT JOIN bench b USING (gh)
+    WHERE g.doc_id % {BENCH_MOD} <> 0
+    GROUP BY g.doc_id
+)
+SELECT doc_id, n_grams, n_contaminated,
+       floor(CAST(n_contaminated AS DOUBLE) / CAST(n_grams AS DOUBLE)
+             * 1000000 + 0.5) / 1000000.0 AS contamination_frac
+FROM agg
+ORDER BY contamination_frac DESC, doc_id
+LIMIT 100
+"""
+
+
+# -- repetition quality signals -----------------------------------------------
+
+
+def q_repetition_signals(sf_dir: str):
+    """Gopher-style repetition signals per document: token count,
+    duplicate-token fraction (1 - distinct/total) and most-frequent-
+    token fraction (max count / total).  High values flag boilerplate
+    / degenerate pages for a quality filter.
+
+    One embarrassingly-parallel pass — per-batch Counters, no shuffle;
+    the integer counts make the rounded fractions order-independent."""
+
+    def signals(t: pa.Table) -> pa.Table:
+        doc_ids, n_tok, n_dis, top = [], [], [], []
+        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = _raw_tokens(text or "")
+            if not toks:
+                continue  # token-less docs have no signal row (SQL parity)
+            counts: dict[str, int] = {}
+            for w in toks:
+                counts[w] = counts.get(w, 0) + 1
+            doc_ids.append(doc_id)
+            n_tok.append(len(toks))
+            n_dis.append(len(counts))
+            top.append(max(counts.values()))
+        n = np.asarray(n_tok, dtype=np.float64)
+
+        def r6(x: np.ndarray) -> np.ndarray:
+            # half-up like the SQL side (ratios of small ints DO tie)
+            return np.floor(x * 1e6 + 0.5) / 1e6
+
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "dup_frac": pa.array(
+                    r6(1.0 - np.asarray(n_dis, dtype=np.float64) / n)
+                    if len(n)
+                    else np.array([], dtype=np.float64),
+                    pa.float64(),
+                ),
+                "top_frac": pa.array(
+                    r6(np.asarray(top, dtype=np.float64) / n)
+                    if len(n)
+                    else np.array([], dtype=np.float64),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(signals, batch_format="pyarrow")
+
+
+SQL_REPETITION_SIGNALS = f"""
+WITH toks AS ({_SQL_TOKLIST}),
+words AS (
+    SELECT doc_id, unnest(l) AS word FROM toks
+),
+wc AS (
+    SELECT doc_id, word, count(*) AS c FROM words GROUP BY doc_id, word
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       floor((1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE))
+             * 1000000 + 0.5) / 1000000.0 AS dup_frac,
+       floor(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+             * 1000000 + 0.5) / 1000000.0 AS top_frac
+FROM wc
+GROUP BY doc_id
+"""
+
+
+# -- unigram LM commonness score ----------------------------------------------
+
+
+def q_lm_unigram_score(sf_dir: str):
+    """Unigram language-model scoring of each document against the
+    corpus itself: ``score = mean over doc tokens of p(w)`` where
+    ``p(w) = corpus_count(w) / total_tokens``.  Low scores flag
+    out-of-distribution / garbled docs; the standard cheap LM-quality
+    gate before an expensive model-based one.
+
+    Kept hash-exact by staying rational: the per-doc reduction is the
+    integer sum of ``c_dw * c_w`` (count products); the only float ops
+    are the two final divisions, applied in the same order as the SQL
+    oracle.  Shape: per-doc partial counts → global ``groupby(word)``
+    frequency table → per-word-bucket join back (no vocab broadcast)
+    → ``groupby(doc_id).sum``."""
+
+    def doc_counts(t: pa.Table) -> pa.Table:
+        doc_ids, words, cs, buckets = [], [], [], []
+        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            counts: dict[str, int] = {}
+            for w in _raw_tokens(text or ""):
+                counts[w] = counts.get(w, 0) + 1
+            for w, c in counts.items():
+                doc_ids.append(doc_id)
+                words.append(w)
+                cs.append(c)
+                buckets.append(
+                    int(hashlib.md5(w.encode()).hexdigest()[:8], 16) & (NB - 1)
+                )
+        return pa.table(
+            {
+                "bucket": pa.array(buckets, pa.int32()),
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "word": pa.array(words, pa.string()),
+                "c": pa.array(cs, pa.int64()),
+            }
+        )
+
+    dc = _docs(sf_dir).map_batches(doc_counts, batch_format="pyarrow")
+
+    def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # corpus frequency of each word in this bucket = sum over docs
+        cw = g.groupby("word")["c"].sum()
+        prod = g["c"].to_numpy(dtype=np.int64) * cw.loc[
+            g["word"]
+        ].to_numpy(dtype=np.int64)
+        out = pd.DataFrame(
+            {"doc_id": g["doc_id"], "n": g["c"], "prod": prod}
+        ).groupby("doc_id", as_index=False).sum()
+        return out.astype({"doc_id": "int64", "n": "int64", "prod": "int64"})
+
+    # per_doc is doc-sized (3 ints per doc) — materializing it is the
+    # cheap way to read the global token total off it without a second
+    # pass over the word-level stream
+    per_doc = (
+        dc.groupby("bucket")
+        .map_groups(score_bucket, batch_format="pandas")
+        .groupby("doc_id")
+        .aggregate(Sum("n", alias_name="n_tokens"), Sum("prod", alias_name="p"))
+        .materialize()
+    )
+    total = per_doc.aggregate(Sum("n_tokens", alias_name="s"))["s"] or 0
+
+    def finish(t: pa.Table) -> pa.Table:
+        raw = pc.divide(
+            pc.divide(
+                pc.cast(t["p"], pa.float64()),
+                pc.cast(t["n_tokens"], pa.float64()),
+            ),
+            pa.scalar(float(total)),
+        )
+        # half-up on both sides (see q_contamination_check)
+        score = pc.divide(
+            pc.floor(pc.add(pc.multiply(raw, pa.scalar(1e6)), pa.scalar(0.5))),
+            pa.scalar(1e6),
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pc.cast(t["n_tokens"], pa.int64()),
+                "lm_score": score,
+            }
+        )
+
+    return per_doc.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_LM_UNIGRAM_SCORE = f"""
+WITH toks AS ({_SQL_TOKLIST}),
+words AS (SELECT doc_id, unnest(l) AS word FROM toks),
+wc AS (SELECT doc_id, word, count(*) AS c FROM words GROUP BY doc_id, word),
+freq AS (SELECT word, CAST(sum(c) AS BIGINT) AS cw FROM wc GROUP BY word),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM wc),
+agg AS (
+    SELECT wc.doc_id,
+           CAST(sum(wc.c) AS BIGINT) AS n_tokens,
+           CAST(sum(wc.c * freq.cw) AS BIGINT) AS p
+    FROM wc JOIN freq USING (word)
+    GROUP BY wc.doc_id
+)
+SELECT doc_id, n_tokens,
+       floor(CAST(p AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+             / CAST((SELECT t FROM tot) AS DOUBLE) * 1000000 + 0.5)
+           / 1000000.0 AS lm_score
+FROM agg
+"""

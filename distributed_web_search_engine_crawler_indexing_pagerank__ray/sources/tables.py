@@ -20,7 +20,7 @@ import pyarrow.parquet as pq
 import ray.data
 
 
-def read_parquet_clean(path: str, columns=None) -> "ray.data.Dataset":
+def read_parquet_clean(path: str, columns=None, **kwargs) -> "ray.data.Dataset":
     """``ray.data.read_parquet`` with the file-level pandas metadata
     stripped from the schema.  Parquet written by pandas embeds a
     metadata dict that makes ``pa.Schema`` unhashable, so Ray Data's
@@ -33,7 +33,7 @@ def read_parquet_clean(path: str, columns=None) -> "ray.data.Dataset":
             schema = pa.schema([schema.field(c) for c in columns])
     except Exception:
         schema = None  # directory input etc. — let Ray infer
-    return ray.data.read_parquet(path, schema=schema, columns=columns)
+    return ray.data.read_parquet(path, schema=schema, columns=columns, **kwargs)
 
 
 try:  # north-rule sink: Lance when the package exists (re-verified

@@ -594,3 +594,105 @@ def test_hll_small_p_and_mismatched_blob():
     assert abs(h12.estimate() - 50_000) / 50_000 < 0.05
     with pytest.raises(ValueError):
         HyperLogLog.from_bytes(h.to_bytes(), p=12)
+
+
+# -- round-3 training-data curation additions ---------------------------------
+
+
+def test_contamination_planted(tmp_path):
+    """A doc that copies a benchmark doc's text must rank as maximally
+    contaminated; an all-unique doc must report zero overlap."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines import (
+        traindata,
+    )
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    copy_text = bench_text + " lambda mu"  # shares all benchmark 5-grams
+    unique_text = "one two three four five six seven eight nine ten"
+    pq.write_table(
+        pa.table(
+            {
+                # doc 0 is the benchmark member (0 % 97 == 0)
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(
+                    [bench_text, copy_text, unique_text], pa.string()
+                ),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    df = _to_df(traindata.q_contamination_check(str(tmp_path)))
+    df = df.set_index("doc_id")
+    assert 0 not in df.index  # benchmark docs excluded from the report
+    # copy doc: 8 grams total, the 6 benchmark grams contaminated
+    assert df.loc[1, "n_grams"] == 8
+    assert df.loc[1, "n_contaminated"] == 6
+    assert df.loc[2, "n_contaminated"] == 0
+    assert df.index[0] == 1  # sorted most-contaminated first
+
+
+def test_moving_average_bruteforce(tmp_path):
+    """q_moving_average vs a row-at-a-time pandas reference on a frame
+    with ts ties (tie broken by event_id) and users with < window rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines import (
+        events as ev,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 37, n).astype(np.int64),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 50, n), unit="h"),
+            "value": np.round(rng.uniform(0.01, 500.0, n), 2),
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df), tmp_path / "events.parquet")
+
+    out = _to_df(ev.q_moving_average(str(tmp_path))).set_index("user_id")
+
+    ref = df.sort_values(["user_id", "ts", "event_id"])
+    ref["v"] = np.floor(ref["value"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+    for uid, g in ref.groupby("user_id"):
+        v = g["v"].to_numpy()
+        w = min(ev.MA_WINDOW, len(v))
+        expect = np.floor(v[-w:].sum() / w + 0.5) / 1e6
+        assert out.loc[uid, "ma3"] == expect, uid
+    assert len(out) == ref["user_id"].nunique()
+
+
+def test_lm_unigram_score_orders_common_above_rare(tmp_path):
+    """A doc made of the corpus's most common words must outscore a doc
+    of hapaxes (score = mean corpus-relative frequency of its tokens)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines import (
+        traindata,
+    )
+
+    common = "data " * 50
+    rare = "qzx wvu tsr qpo nml kji hgf edc ba z"
+    filler = ["data batch merge sort " * 10 for _ in range(8)]
+    texts = [common, rare] + filler
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    df = _to_df(traindata.q_lm_unigram_score(str(tmp_path))).set_index("doc_id")
+    assert df.loc[0, "lm_score"] > df.loc[1, "lm_score"]
+    assert df.loc[0, "n_tokens"] == 50
+    assert (df["lm_score"] > 0).all()
