@@ -109,25 +109,31 @@ def q_contamination_check(sf_dir: str):
     non-benchmark docs."""
     grams = _docs(sf_dir).map_batches(_gram_table, batch_format="pyarrow")
 
-    def mark_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    # returns ARROW: the downstream Ray aggregate is ~10x slower on
+    # pandas blocks than arrow blocks (measured 16 s vs 1.5 s on this
+    # very reduce at sf0.1) — group fns feeding an aggregate must emit
+    # pa.Table, same rule as the r2 "arrow-native group fns" fix
+    def mark_bucket(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "hit": pa.array([], pa.int64()),
+            }
+        )
         is_bench = g["doc_id"] % BENCH_MOD == 0
         bench_ghs = g.loc[is_bench, "gh"].unique()
         d = g.loc[~is_bench, ["doc_id", "gh"]]
         if len(d) == 0:
-            return pd.DataFrame(
-                {
-                    "doc_id": pd.Series(dtype="int64"),
-                    "n": pd.Series(dtype="int64"),
-                    "hit": pd.Series(dtype="int64"),
-                }
-            )
+            return empty
         hit = d["gh"].isin(bench_ghs).astype("int64")
         out = (
             pd.DataFrame({"doc_id": d["doc_id"], "n": 1, "hit": hit})
             .groupby("doc_id", as_index=False)
             .sum()
         )
-        return out.astype({"doc_id": "int64", "n": "int64", "hit": "int64"})
+        out = out.astype({"doc_id": "int64", "n": "int64", "hit": "int64"})
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     per_doc = (
         grams.groupby("bucket")
@@ -309,7 +315,9 @@ def q_lm_unigram_score(sf_dir: str):
 
     dc = _docs(sf_dir).map_batches(doc_counts, batch_format="pyarrow")
 
-    def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    # returns ARROW — see mark_bucket: aggregate on pandas blocks is
+    # ~10x slower than on arrow blocks
+    def score_bucket(g: pd.DataFrame) -> pa.Table:
         # corpus frequency of each word in this bucket = sum over docs
         cw = g.groupby("word")["c"].sum()
         prod = g["c"].to_numpy(dtype=np.int64) * cw.loc[
@@ -318,7 +326,8 @@ def q_lm_unigram_score(sf_dir: str):
         out = pd.DataFrame(
             {"doc_id": g["doc_id"], "n": g["c"], "prod": prod}
         ).groupby("doc_id", as_index=False).sum()
-        return out.astype({"doc_id": "int64", "n": "int64", "prod": "int64"})
+        out = out.astype({"doc_id": "int64", "n": "int64", "prod": "int64"})
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     # per_doc is doc-sized (3 ints per doc) — materializing it is the
     # cheap way to read the global token total off it without a second
