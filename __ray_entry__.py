@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_shuffle": relational.q_join_shuffle,
         "intersection": relational.q_intersection,
         "anti_join": relational.q_anti_join,
+        "join_left": relational.q_join_left,
         "grouped_topk": relational.q_grouped_topk,
         "revenue_by_segment": relational.q_revenue_by_segment,
         "sample": relational.q_sample,
@@ -78,6 +79,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_check": traindata.q_contamination_check,
         "repetition_signals": traindata.q_repetition_signals,
         "lm_unigram_score": traindata.q_lm_unigram_score,
+        "pack_sequences": traindata.q_pack_sequences,
+        "chunk_documents": traindata.q_chunk_documents,
         # dedup family (training-data additions)
         "dedup_exact": dedup.q_dedup_exact,
         "dedup_clusters": dedup.q_dedup_clusters,
@@ -127,6 +130,7 @@ def oracle_sql() -> dict[str, str]:
         "join_shuffle": relational.SQL_JOIN_SHUFFLE,
         "intersection": relational.SQL_INTERSECTION,
         "anti_join": relational.SQL_ANTI_JOIN,
+        "join_left": relational.SQL_JOIN_LEFT,
         "grouped_topk": relational.SQL_GROUPED_TOPK,
         "revenue_by_segment": relational.SQL_REVENUE_BY_SEGMENT,
         "sample": relational.SQL_SAMPLE,
@@ -143,6 +147,8 @@ def oracle_sql() -> dict[str, str]:
         "contamination_check": traindata.SQL_CONTAMINATION_CHECK,
         "repetition_signals": traindata.SQL_REPETITION_SIGNALS,
         "lm_unigram_score": traindata.SQL_LM_UNIGRAM_SCORE,
+        "pack_sequences": traindata.SQL_PACK_SEQUENCES,
+        "chunk_documents": traindata.SQL_CHUNK_DOCUMENTS,
         "dedup_exact": dedup.SQL_DEDUP_EXACT,
         "dedup_ngram": dedup.SQL_DEDUP_NGRAM,
         "dedup_simhash": dedup.SQL_DEDUP_SIMHASH,

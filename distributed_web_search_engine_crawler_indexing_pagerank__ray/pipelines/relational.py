@@ -651,3 +651,97 @@ JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 WHERE o.o_orderstatus = 'F'
 GROUP BY c.c_mktsegment
 """
+
+
+# -- left outer join (co-bucketed, null-preserving) ---------------------------
+
+
+def q_join_left(sf_dir: str):
+    """customer LEFT JOIN orders: per-customer order count + total
+    spend, keeping zero-order customers (count 0, spend 0.00) — the
+    null-preserving join variant ``q_join_shuffle`` (inner) and
+    ``q_anti_join`` (null-only) bracket.
+
+    Shape: both sides large → co-bucketed by ``custkey & (B-1)`` into
+    ONE ``groupby(bucket)`` over the tagged union (the partitioned
+    hash-join of ray_guide 'Joins and lookups'); each group left-merges
+    and aggregates to final per-customer rows (custkey is unique per
+    bucket, so no second shuffle).  Spend sums INTEGER cents —
+    order-independent, hence hash-exact vs the SQL oracle."""
+    import pandas as pd
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def tag_cust(t: pa.Table) -> pa.Table:
+        keys = pc.cast(t["c_custkey"], pa.int64())
+        return pa.table(
+            {
+                "bucket": pc.cast(
+                    pc.bit_wise_and(keys, pa.scalar(JOIN_BUCKETS - 1)), pa.int32()
+                ),
+                "key": keys,
+                "side": pa.array(["c"] * t.num_rows, pa.string()),
+                "cents": pa.nulls(t.num_rows, pa.int64()),
+            }
+        )
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        keys = pc.cast(t["o_custkey"], pa.int64())
+        cents = pc.cast(
+            pc.floor(
+                pc.add(
+                    pc.multiply(t["o_totalprice"], pa.scalar(100.0)),
+                    pa.scalar(0.5),
+                )
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "bucket": pc.cast(
+                    pc.bit_wise_and(keys, pa.scalar(JOIN_BUCKETS - 1)), pa.int32()
+                ),
+                "key": keys,
+                "side": pa.array(["o"] * t.num_rows, pa.string()),
+                "cents": cents,
+            }
+        )
+
+    tagged = cust.map_batches(tag_cust, batch_format="pyarrow").union(
+        orders.map_batches(tag_orders, batch_format="pyarrow")
+    )
+
+    def join_bucket(g: pd.DataFrame) -> pa.Table:
+        left = g.loc[g["side"] == "c", ["key"]]
+        right = g.loc[g["side"] == "o", ["key", "cents"]]
+        agg = right.groupby("key").agg(
+            n_orders=("cents", "size"), cents=("cents", "sum")
+        )
+        m = left.merge(agg, on="key", how="left")
+        n = m["n_orders"].fillna(0).to_numpy(dtype=np.int64)
+        cents = m["cents"].fillna(0).to_numpy(dtype=np.int64)
+        return pa.table(
+            {
+                "c_custkey": pa.array(m["key"].to_numpy(dtype=np.int64)),
+                "n_orders": pa.array(n),
+                "total_spent": pc.round(
+                    pc.divide(
+                        pc.cast(pa.array(cents), pa.float64()), pa.scalar(100.0)
+                    ),
+                    ndigits=2,
+                ),
+            }
+        )
+
+    return tagged.groupby("bucket").map_groups(join_bucket, batch_format="pandas")
+
+
+SQL_JOIN_LEFT = """
+SELECT c.c_custkey,
+       count(o.o_custkey) AS n_orders,
+       round(COALESCE(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)), 0)
+             / 100.0, 2) AS total_spent
+FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey
+"""

@@ -1,5 +1,6 @@
 """Training-data-curation operators (round-3 additions): benchmark
-contamination check, repetition quality signals, unigram LM scoring.
+contamination check, repetition quality signals, unigram LM scoring,
+sequence packing, document chunking.
 
 These extend the reference's text jobs (``src/jobs/Indexer.java``,
 ``src/jobs/TfIdf.java``) with the curation steps a 100-TB pretraining
@@ -20,6 +21,11 @@ Scale notes (100 TB):
 - ``lm_unigram_score`` joins per-doc word counts to the global
   frequency table per word-hash bucket — no vocabulary broadcast.
 - ``repetition_signals`` is embarrassingly parallel (one pass, no
+  shuffle).
+- ``pack_sequences`` is the distributed prefix-scan shape (same as
+  ``events.q_window_late_data``): per-bucket token sums → driver
+  prefix-sum over ≤ |buckets| scalars → per-bucket local cumsum.
+- ``chunk_documents`` is embarrassingly parallel (flat-map, no
   shuffle).
 """
 
@@ -383,4 +389,160 @@ SELECT doc_id, n_tokens,
              / CAST((SELECT t FROM tot) AS DOUBLE) * 1000000 + 0.5)
            / 1000000.0 AS lm_score
 FROM agg
+"""
+
+
+# -- sequence packing (distributed prefix sum) --------------------------------
+
+SEQ_LEN = 2048  # pack capacity in tokens (a typical pretraining context)
+PACK_BUCKET = 1024  # doc_ids per prefix-scan partition
+
+
+def q_pack_sequences(sf_dir: str):
+    """Greedy contiguous sequence packing: documents are concatenated
+    in doc_id order and cut into fixed ``SEQ_LEN``-token training
+    sequences; each doc reports the pack it starts in and its offset
+    there — the bookkeeping a pretraining dataloader needs to pack
+    short documents without padding waste.
+
+    Distributed shape — a prefix SUM scan, not a global sort (mirrors
+    ``events.q_window_late_data``'s prefix-max): tokenize once into a
+    doc-sized (bucket, doc_id, n_tokens) intermediate (3 ints per doc;
+    bucket = doc_id // 1024 so the bucket index IS doc order); phase 1
+    reduces each bucket to one token-count scalar and the driver
+    prefix-sums those ≤ |buckets| scalars (kilobytes at any corpus
+    size); phase 2 re-walks each bucket seeded with its predecessors'
+    prefix — in-bucket cumsum is one vectorized numpy pass.  All
+    arithmetic is integer, hence hash-exact vs the SQL window oracle."""
+    import ray
+
+    def count_tokens(t: pa.Table) -> pa.Table:
+        doc_ids = t["doc_id"].to_pylist()
+        ns = [len(_raw_tokens(x or "")) for x in t["text"].to_pylist()]
+        ids = np.asarray(doc_ids, dtype=np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(ids // PACK_BUCKET, pa.int64()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "n": pa.array(ns, pa.int64()),
+            }
+        )
+
+    # tokenize ONCE; the intermediate is 3 ints/doc, cheap to reuse in
+    # both phases (the alternative re-tokenizes the corpus in phase 2)
+    counts = (
+        _docs(sf_dir)
+        .map_batches(count_tokens, batch_format="pyarrow")
+        .materialize()
+    )
+
+    bm = (
+        counts.groupby("bucket")
+        .aggregate(Sum("n", alias_name="s"))
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    buckets = bm["bucket"].to_numpy().astype(np.int64)
+    prefix = np.concatenate(
+        [[np.int64(0)], np.cumsum(bm["s"].to_numpy().astype(np.int64))[:-1]]
+    )
+    small = ray.put((buckets, prefix))
+
+    def pack_bucket(g: pd.DataFrame) -> pa.Table:
+        bkts, pref = ray.get(small)
+        g = g.sort_values("doc_id")
+        n = g["n"].to_numpy(dtype=np.int64)
+        seed = pref[np.searchsorted(bkts, int(g["bucket"].iloc[0]))]
+        start = seed + np.concatenate([[np.int64(0)], np.cumsum(n)[:-1]])
+        return pa.table(
+            {
+                "doc_id": pa.array(g["doc_id"].to_numpy(dtype=np.int64)),
+                "n_tokens": pa.array(n),
+                "start_tok": pa.array(start),
+                "pack_id": pa.array(start // SEQ_LEN),
+                "pack_offset": pa.array(start % SEQ_LEN),
+            }
+        )
+
+    return counts.groupby("bucket").map_groups(pack_bucket, batch_format="pandas")
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH toks AS ({_SQL_TOKLIST}),
+n AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tokens FROM toks),
+c AS (
+    SELECT doc_id, n_tokens,
+           COALESCE(sum(n_tokens) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+    FROM n
+)
+SELECT doc_id, n_tokens, CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(start_tok // {SEQ_LEN} AS BIGINT) AS pack_id,
+       CAST(start_tok % {SEQ_LEN} AS BIGINT) AS pack_offset
+FROM c
+"""
+
+
+# -- fixed-stride document chunking -------------------------------------------
+
+CHUNK_LEN = 128  # tokens per chunk (a typical RAG/embedding chunk size)
+CHUNK_STRIDE = 96  # stride (CHUNK_LEN - CHUNK_STRIDE = 32 tokens overlap)
+
+
+def q_chunk_documents(sf_dir: str):
+    """Fixed-stride token chunking with overlap: each document becomes
+    ``1 + ceil(max(n - 128, 0) / 96)`` chunks of ≤ 128 tokens starting
+    every 96 tokens (32-token overlap) — the RAG / embedding-prep
+    chunker.  Chunks are identified by the md5 of their joined tokens
+    so the expansion is hash-verifiable without shipping chunk text.
+
+    Embarrassingly parallel flat-map (one pass, no shuffle); the
+    per-doc loop is over CHUNKS (a handful per doc), with tokenization
+    and hashing the per-token work."""
+
+    def chunks(t: pa.Table) -> pa.Table:
+        doc_ids, chunk_ids, lens, hashes = [], [], [], []
+        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = _raw_tokens(text or "")
+            n = len(toks)
+            if n == 0:
+                continue
+            n_chunks = 1 + max(0, -(-(n - CHUNK_LEN) // CHUNK_STRIDE))
+            for j in range(n_chunks):
+                lo = j * CHUNK_STRIDE
+                hi = min(lo + CHUNK_LEN, n)
+                doc_ids.append(doc_id)
+                chunk_ids.append(j)
+                lens.append(hi - lo)
+                hashes.append(
+                    hashlib.md5(" ".join(toks[lo:hi]).encode()).hexdigest()
+                )
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "chunk_id": pa.array(chunk_ids, pa.int64()),
+                "chunk_len": pa.array(lens, pa.int64()),
+                "chunk_hash": pa.array(hashes, pa.string()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(chunks, batch_format="pyarrow")
+
+
+SQL_CHUNK_DOCUMENTS = f"""
+WITH toks AS ({_SQL_TOKLIST}),
+n AS (SELECT doc_id, l, CAST(len(l) AS BIGINT) AS n FROM toks WHERE len(l) > 0),
+ch AS (
+    SELECT doc_id, i - 1 AS chunk_id,
+           l[(i - 1) * {CHUNK_STRIDE} + 1 :
+             (i - 1) * {CHUNK_STRIDE} + {CHUNK_LEN}] AS cl
+    FROM n, unnest(generate_series(
+        1, 1 + CAST(ceil(greatest(n - {CHUNK_LEN}, 0)
+                         / {CHUNK_STRIDE}.0) AS BIGINT))) AS t(i)
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(len(cl) AS BIGINT) AS chunk_len,
+       md5(array_to_string(cl, ' ')) AS chunk_hash
+FROM ch
 """

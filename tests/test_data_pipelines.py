@@ -696,3 +696,90 @@ def test_lm_unigram_score_orders_common_above_rare(tmp_path):
     assert df.loc[0, "lm_score"] > df.loc[1, "lm_score"]
     assert df.loc[0, "n_tokens"] == 50
     assert (df["lm_score"] > 0).all()
+
+
+def test_pack_chunk_join_left_sql_parity(con):
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines import (
+        relational,
+        traindata,
+    )
+
+    _assert_matches_sql(
+        traindata.q_pack_sequences(SF), con, traindata.SQL_PACK_SEQUENCES
+    )
+    _assert_matches_sql(
+        traindata.q_chunk_documents(SF), con, traindata.SQL_CHUNK_DOCUMENTS
+    )
+    _assert_matches_sql(relational.q_join_left(SF), con, relational.SQL_JOIN_LEFT)
+
+
+def test_pack_sequences_long_docs_cross_pack_boundaries(tmp_path):
+    """Fixture docs are short; force multi-pack spans and verify the
+    global prefix sum against a driver-side recomputation."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines import (
+        traindata,
+    )
+
+    rng = np.random.default_rng(7)
+    n_docs = 64
+    texts = [
+        " ".join(f"w{rng.integers(0, 50)}" for _ in range(int(rng.integers(1, 1500))))
+        for _ in range(n_docs)
+    ]
+    # scatter doc_ids across prefix buckets to exercise the seed lookup
+    ids = (rng.permutation(n_docs) * 997).astype(np.int64)
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids), "text": pa.array(texts)}),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = (
+        _to_df(traindata.q_pack_sequences(str(tmp_path)))
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    order = np.argsort(ids, kind="stable")
+    n = np.array(
+        [len(traindata._raw_tokens(texts[i])) for i in order], dtype=np.int64
+    )
+    start = np.concatenate([[0], np.cumsum(n)[:-1]])
+    assert (out["doc_id"].to_numpy() == ids[order]).all()
+    assert (out["n_tokens"].to_numpy() == n).all()
+    assert (out["start_tok"].to_numpy() == start).all()
+    assert (out["pack_id"].to_numpy() == start // traindata.SEQ_LEN).all()
+    assert (out["pack_offset"].to_numpy() == start % traindata.SEQ_LEN).all()
+    assert out["pack_id"].max() > 1  # genuinely spans multiple packs
+
+
+def test_chunk_documents_multi_chunk_overlap(tmp_path):
+    """A 300-token doc must produce 3 chunks with the documented
+    stride/overlap geometry; fixture docs are single-chunk."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines import (
+        traindata,
+    )
+
+    # letter-only tokens: the tokenizer splits on [^a-z]+ so digits
+    # would collapse every "tok<i>" to the same token "tok"
+    toks = ["t" + chr(97 + i // 26) + chr(97 + i % 26) for i in range(300)]
+    pq.write_table(
+        pa.table({"doc_id": pa.array([1], pa.int64()),
+                  "text": pa.array([" ".join(toks)])}),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = (
+        _to_df(traindata.q_chunk_documents(str(tmp_path)))
+        .sort_values("chunk_id")
+        .reset_index(drop=True)
+    )
+    C, S = traindata.CHUNK_LEN, traindata.CHUNK_STRIDE
+    assert list(out["chunk_id"]) == [0, 1, 2]
+    assert list(out["chunk_len"]) == [C, C, 300 - 2 * S]
+    for j in range(3):
+        lo, hi = j * S, min(j * S + C, 300)
+        want = hashlib.md5(" ".join(toks[lo:hi]).encode()).hexdigest()
+        assert out["chunk_hash"].iloc[j] == want
