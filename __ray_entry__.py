@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "intersection": relational.q_intersection,
         "anti_join": relational.q_anti_join,
         "join_left": relational.q_join_left,
+        "global_rank": relational.q_global_rank,
         "grouped_topk": relational.q_grouped_topk,
         "revenue_by_segment": relational.q_revenue_by_segment,
         "sample": relational.q_sample,
@@ -81,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_unigram_score": traindata.q_lm_unigram_score,
         "pack_sequences": traindata.q_pack_sequences,
         "chunk_documents": traindata.q_chunk_documents,
+        "bm25_scores": traindata.q_bm25_scores,
         # dedup family (training-data additions)
         "dedup_exact": dedup.q_dedup_exact,
         "dedup_clusters": dedup.q_dedup_clusters,
@@ -131,6 +133,7 @@ def oracle_sql() -> dict[str, str]:
         "intersection": relational.SQL_INTERSECTION,
         "anti_join": relational.SQL_ANTI_JOIN,
         "join_left": relational.SQL_JOIN_LEFT,
+        "global_rank": relational.SQL_GLOBAL_RANK,
         "grouped_topk": relational.SQL_GROUPED_TOPK,
         "revenue_by_segment": relational.SQL_REVENUE_BY_SEGMENT,
         "sample": relational.SQL_SAMPLE,
@@ -149,6 +152,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_unigram_score": traindata.SQL_LM_UNIGRAM_SCORE,
         "pack_sequences": traindata.SQL_PACK_SEQUENCES,
         "chunk_documents": traindata.SQL_CHUNK_DOCUMENTS,
+        "bm25_scores": traindata.sql_bm25_scores(),
         "dedup_exact": dedup.SQL_DEDUP_EXACT,
         "dedup_ngram": dedup.SQL_DEDUP_NGRAM,
         "dedup_simhash": dedup.SQL_DEDUP_SIMHASH,

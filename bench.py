@@ -68,6 +68,11 @@ QUERY_NAMES = [
     "lm_unigram_score",
     "revenue_by_segment",
     "moving_average",
+    "pack_sequences",
+    "chunk_documents",
+    "bm25_scores",
+    "join_left",
+    "global_rank",
 ]
 
 

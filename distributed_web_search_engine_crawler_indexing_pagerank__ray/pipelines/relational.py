@@ -745,3 +745,81 @@ SELECT c.c_custkey,
 FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
 GROUP BY c.c_custkey
 """
+
+
+# -- global rank via range-partitioned prefix scan ----------------------------
+
+RANK_BUCKET_CHARS = 256  # n_chars per range-partition bucket
+
+
+def q_global_rank(sf_dir: str):
+    """Dense global rank of documents by (n_chars DESC, doc_id ASC) —
+    total-order assignment WITHOUT a global sort shuffle: the sort key
+    range-partitions rows (bucket = n_chars // 256, a value-range
+    partition over a bounded column), phase 1 reduces each bucket to a
+    row count, the driver prefix-sums those ≤ |buckets| scalars in
+    descending bucket order and broadcasts them, and phase 2 sorts
+    WITHIN each bucket (vectorized lexsort over its own rows only) and
+    offsets by the bucket's prefix.  The same shape ``traindata.
+    q_pack_sequences`` uses for token offsets; at 100 TB the bucket
+    histogram comes from a sampled quantile sketch instead of a fixed
+    width, and each bucket ranks independently — no stage ever holds
+    more than one bucket."""
+    import pandas as pd
+
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+
+    def tag(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bucket": pc.cast(
+                    pc.divide(t["n_chars"], pa.scalar(RANK_BUCKET_CHARS)),
+                    pa.int64(),
+                ),
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "n_chars": pc.cast(t["n_chars"], pa.int64()),
+            }
+        )
+
+    tagged = docs.map_batches(tag, batch_format="pyarrow").materialize()
+
+    from ray.data.aggregate import Count
+
+    bm = (
+        tagged.groupby("bucket")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values("bucket", ascending=False)  # rank is n_chars DESC
+    )
+    buckets = bm["bucket"].to_numpy().astype(np.int64)
+    prefix = np.concatenate(
+        [[np.int64(0)], np.cumsum(bm["n"].to_numpy().astype(np.int64))[:-1]]
+    )
+    # searchsorted needs ascending keys; store descending-order prefix
+    # indexed by position in the descending bucket list
+    order = {int(b): int(p) for b, p in zip(buckets, prefix)}
+    small = ray.put(order)
+
+    def rank_bucket(g: pd.DataFrame) -> pa.Table:
+        seed = ray.get(small)[int(g["bucket"].iloc[0])]
+        g = g.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+        return pa.table(
+            {
+                "doc_id": pa.array(g["doc_id"].to_numpy(dtype=np.int64)),
+                "n_chars": pa.array(g["n_chars"].to_numpy(dtype=np.int64)),
+                "rank": pa.array(
+                    seed + 1 + np.arange(len(g), dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return tagged.groupby("bucket").map_groups(rank_bucket, batch_format="pandas")
+
+
+SQL_GLOBAL_RANK = """
+SELECT doc_id, n_chars,
+       row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rank
+FROM documents
+"""

@@ -32,6 +32,7 @@ Scale notes (100 TB):
 from __future__ import annotations
 
 import hashlib
+import math
 
 import numpy as np
 import pandas as pd
@@ -545,4 +546,123 @@ SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
        CAST(len(cl) AS BIGINT) AS chunk_len,
        md5(array_to_string(cl, ' ')) AS chunk_hash
 FROM ch
+"""
+
+
+# -- BM25 relevance scoring ---------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("filter", "join", "window")  # fixed query, sorted
+BM25_GRID = 1_000_000  # contribution quantization grid (order-free sum)
+
+
+def q_bm25_scores(sf_dir: str):
+    """Okapi BM25 scores of every document against a fixed query
+    (idf·tf saturation with length normalization, k1=1.2 b=0.75;
+    idf = ln(1 + (N − df + 0.5)/(df + 0.5)) — the positive variant) —
+    the ranking function the reference's TfIdf job (``src/jobs/
+    TfIdf.java:212-226``) approximates, in its modern form.
+
+    Order-exactness: each (doc, term) contribution quantizes to
+    integer micro-units with floor(x·1e6 + 0.5) BEFORE the per-doc
+    sum, so the reduce is order-free integer addition and the SQL
+    oracle hash-matches.  Shape: one tokenize pass to a doc-sized
+    (doc_id, dl, c_term…) intermediate; global (N, avgdl, df) reduce
+    to a handful of scalars broadcast back; one scoring pass.  No
+    shuffle wider than the scalar reduce — the query-term set is a
+    compile-time constant, so per-doc term counts need no join."""
+    import ray
+
+    terms = list(BM25_TERMS)
+
+    def counts(t: pa.Table) -> pa.Table:
+        cols: dict[str, list] = {"doc_id": [], "dl": []}
+        for w in terms:
+            cols[f"c_{w}"] = []
+        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = _raw_tokens(text or "")
+            if not toks:
+                continue
+            cols["doc_id"].append(doc_id)
+            cols["dl"].append(len(toks))
+            for w in terms:
+                cols[f"c_{w}"].append(sum(1 for x in toks if x == w))
+        return pa.table(
+            {k: pa.array(v, pa.int64()) for k, v in cols.items()}
+        )
+
+    per_doc = (
+        _docs(sf_dir).map_batches(counts, batch_format="pyarrow").materialize()
+    )
+    def partial_df(t: pa.Table) -> pa.Table:
+        # per-batch: doc count + df partials (docs where c_w > 0)
+        out = {"nd": pa.array([t.num_rows], pa.int64())}
+        for w in terms:
+            out[f"df_{w}"] = pa.array(
+                [int(pc.sum(pc.greater(t[f"c_{w}"], 0)).as_py() or 0)], pa.int64()
+            )
+        out["tot"] = pa.array([int(pc.sum(t["dl"]).as_py() or 0)], pa.int64())
+        return pa.table(out)
+
+    g = per_doc.map_batches(partial_df, batch_format="pyarrow").to_pandas().sum()
+    N, tot = int(g["nd"]), int(g["tot"])
+    avgdl = tot / N if N else 1.0
+    df = {w: int(g[f"df_{w}"]) for w in terms}
+    idf = {
+        w: math.log(1.0 + (N - df[w] + 0.5) / (df[w] + 0.5)) for w in terms
+    }
+    small = ray.put((idf, avgdl))
+
+    def score(t: pa.Table) -> pa.Table:
+        idf_, avgdl_ = ray.get(small)
+        dl = t["dl"].to_numpy(zero_copy_only=False).astype(np.float64)
+        total = np.zeros(t.num_rows, dtype=np.int64)
+        norm = BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl_)
+        for w in terms:
+            c = t[f"c_{w}"].to_numpy(zero_copy_only=False).astype(np.float64)
+            contrib = idf_[w] * (c * (BM25_K1 + 1.0)) / (c + norm)
+            total += np.floor(contrib * BM25_GRID + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "dl": t["dl"],
+                "bm25": pa.array(total.astype(np.float64) / BM25_GRID,
+                                 pa.float64()),
+            }
+        )
+
+    return per_doc.map_batches(score, batch_format="pyarrow")
+
+
+def sql_bm25_scores() -> str:
+    terms_vals = ", ".join(f"('{w}')" for w in BM25_TERMS)
+    return f"""
+WITH toks AS ({_SQL_TOKLIST}),
+n AS (SELECT doc_id, l, CAST(len(l) AS BIGINT) AS dl FROM toks WHERE len(l) > 0),
+stats AS (
+    SELECT count(*) AS nd, sum(dl) AS tot FROM n
+),
+terms(term) AS (VALUES {terms_vals}),
+tc AS (
+    SELECT doc_id, dl, term,
+           CAST(len(list_filter(l, w -> w = term)) AS BIGINT) AS c
+    FROM n, terms
+),
+dft AS (
+    SELECT term, CAST(count(*) FILTER (WHERE c > 0) AS BIGINT) AS df
+    FROM tc GROUP BY term
+),
+contrib AS (
+    SELECT tc.doc_id, tc.dl,
+           CAST(floor(
+               ln(1.0 + (s.nd - d.df + 0.5) / (d.df + 0.5))
+               * (tc.c * ({BM25_K1} + 1.0))
+               / (tc.c + {BM25_K1} * (1.0 - {BM25_B}
+                    + {BM25_B} * tc.dl / (CAST(s.tot AS DOUBLE) / s.nd)))
+               * {BM25_GRID} + 0.5) AS BIGINT) AS ci
+    FROM tc JOIN dft d USING (term), stats s
+)
+SELECT doc_id, dl, sum(ci) / {BM25_GRID}.0 AS bm25
+FROM contrib GROUP BY doc_id, dl
 """

@@ -783,3 +783,55 @@ def test_chunk_documents_multi_chunk_overlap(tmp_path):
         lo, hi = j * S, min(j * S + C, 300)
         want = hashlib.md5(" ".join(toks[lo:hi]).encode()).hexdigest()
         assert out["chunk_hash"].iloc[j] == want
+
+
+def test_bm25_and_global_rank_sql_parity(con):
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines import (
+        relational,
+        traindata,
+    )
+
+    _assert_matches_sql(
+        traindata.q_bm25_scores(SF), con, traindata.sql_bm25_scores()
+    )
+    _assert_matches_sql(
+        relational.q_global_rank(SF), con, relational.SQL_GLOBAL_RANK
+    )
+
+
+def test_global_rank_is_dense_permutation(con):
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines import (
+        relational,
+    )
+
+    out = _to_df(relational.q_global_rank(SF)).sort_values("rank")
+    n = len(out)
+    assert list(out["rank"]) == list(range(1, n + 1))
+    # rank respects (n_chars DESC, doc_id ASC)
+    key = list(zip(-out["n_chars"].to_numpy(), out["doc_id"].to_numpy()))
+    assert key == sorted(key)
+
+
+def test_bm25_monotone_in_term_count(tmp_path):
+    """More query-term occurrences at equal length ⇒ strictly higher
+    BM25; longer doc at equal counts ⇒ lower (length normalization)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines import (
+        traindata,
+    )
+
+    pad = "zzz "
+    texts = [
+        "join " * 1 + pad * 19,       # 1 hit, dl 20
+        "join " * 5 + pad * 15,       # 5 hits, dl 20
+        "join " * 5 + pad * 55,       # 5 hits, dl 60
+    ]
+    pq.write_table(
+        pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": pa.array(texts)}),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = _to_df(traindata.q_bm25_scores(str(tmp_path))).set_index("doc_id")
+    assert out.loc[2, "bm25"] > out.loc[1, "bm25"]
+    assert out.loc[2, "bm25"] > out.loc[3, "bm25"]
