@@ -48,10 +48,14 @@ GRAM_N = 5  # word-level n-gram order for the contamination check
 BENCH_MOD = 97  # doc_id % BENCH_MOD == 0 marks the "benchmark" set
 NB = 32  # hash buckets for the gram / word partitioned joins
 
-# shared SQL fragment: raw tokens (no stopword drop), as an ordered list
+# shared SQL fragment: raw tokens (no stopword drop), as an ordered list.
+# COALESCE(text, '') mirrors the Ray side's ``text or ''`` — without it a
+# NULL text yields l = NULL (not []), and e.g. pack_sequences would emit
+# n_tokens NULL where the engine emits 0 (latent hash divergence; current
+# fixtures have no NULLs but the contract shouldn't depend on that).
 _SQL_TOKLIST = f"""
     SELECT doc_id,
-           list_filter(string_split_regex(lower(text), '[^a-z]+'),
+           list_filter(string_split_regex(lower(COALESCE(text, '')), '[^a-z]+'),
                        w -> w <> '' AND length(w) <= {MAX_WORD_LENGTH}) AS l
     FROM documents
 """
@@ -140,7 +144,12 @@ def q_contamination_check(sf_dir: str):
             .sum()
         )
         out = out.astype({"doc_id": "int64", "n": "int64", "hit": "int64"})
-        return pa.Table.from_pandas(out, preserve_index=False)
+        # strip the pandas metadata dict: it makes the block schema
+        # unhashable and defeats Ray's block-schema dedup (same reason
+        # read_parquet_clean strips parquet metadata)
+        return pa.Table.from_pandas(
+            out, preserve_index=False
+        ).replace_schema_metadata(None)
 
     per_doc = (
         grams.groupby("bucket")
@@ -334,7 +343,10 @@ def q_lm_unigram_score(sf_dir: str):
             {"doc_id": g["doc_id"], "n": g["c"], "prod": prod}
         ).groupby("doc_id", as_index=False).sum()
         out = out.astype({"doc_id": "int64", "n": "int64", "prod": "int64"})
-        return pa.Table.from_pandas(out, preserve_index=False)
+        # metadata-free schema — see mark_bucket
+        return pa.Table.from_pandas(
+            out, preserve_index=False
+        ).replace_schema_metadata(None)
 
     # per_doc is doc-sized (3 ints per doc) — materializing it is the
     # cheap way to read the global token total off it without a second
