@@ -17,6 +17,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from ..sources.tables import read_parquet_clean
+from ..functions.partitioning import bucket_count, parquet_rows
 from ray.data.aggregate import Count, Sum
 
 
@@ -331,10 +332,17 @@ def q_asof_join(sf_dir: str):
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
     )
 
-    NB = 32  # key-hash buckets: the groupby lands BOTH sides of a key
-    # in one group, and each group holds ~1/NB of all keys, so the
-    # reduce is NB vectorized merge_asof(by=key) calls — not one tiny
-    # Python call per key
+    # key-hash buckets: the groupby lands BOTH sides of a key in one
+    # group, so the reduce is NB vectorized merge_asof(by=key) calls —
+    # not one tiny Python call per key.  NB is size-derived (bounded
+    # per-group memory ≈ rows-per-bucket target, input-proportional
+    # parallelism); no salting — merge_asof needs a key's full ordered
+    # history in one group, so a pathologically hot key is instead
+    # time-range sub-partitioned with the latest right row before each
+    # boundary replicated into the next partition.
+    NB = bucket_count(
+        parquet_rows(f"{sf_dir}/events.parquet", f"{sf_dir}/orders.parquet")
+    )
 
     def tag_events(t: pa.Table) -> pa.Table:
         k = pc.cast(t["user_id"], pa.int64())
@@ -449,7 +457,10 @@ def q_range_join(sf_dir: str):
     import pandas as pd
 
     ev = _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
-    NB = 32
+    # size-derived (×2: both filtered copies shuffle); per-group memory
+    # is bounded by the rows-per-bucket target — the docstring's
+    # time-bucketed sub-split is the hot-user path
+    NB = bucket_count(2 * parquet_rows(f"{sf_dir}/events.parquet"))
 
     def tag(kind: str, typ: str):
         def fn(t: pa.Table) -> pa.Table:
@@ -773,8 +784,14 @@ def q_moving_average(sf_dir: str):
     start (pure numpy — no per-user Python loop, no pandas
     ``groupby.rolling``).  Integer micros (``floor(v*1e6 + 0.5)``) keep
     the 3-term sums order-independent, so the rounded result is
-    hash-exact vs the SQL window-function oracle."""
-    NB = 32
+    hash-exact vs the SQL window-function oracle.
+
+    Scale posture: NB size-derived ⇒ one group ≤ ~target rows (a few
+    tens of MB pandas) and NB-way parallelism at any input size.  No
+    salting — the rolling window needs each user's ordered run intact;
+    a hot user sub-partitions by time range instead, carrying the
+    trailing W-1 rows across each boundary."""
+    NB = bucket_count(parquet_rows(f"{sf_dir}/events.parquet"))
     ev = _events(sf_dir, ["user_id", "ts", "event_id", "value"])
 
     def tag(t: pa.Table) -> pa.Table:

@@ -236,7 +236,11 @@ def _project_ranks(graph, vkeys_ref, ranks: np.ndarray) -> pa.Table:
     return pa.concat_tables(parts).cast(PAGERANK_SCHEMA)
 
 
-PR_JOIN_BUCKETS = 32
+# floor for the size-derived bucket counts of the rank/edge co-group
+# joins (see functions/partitioning.bucket_count): per-bucket memory is
+# bounded by the rows-per-bucket target at any graph size instead of a
+# fixed 32-way split
+PR_JOIN_BUCKETS_FLOOR = 32
 
 
 def _run_ranks_as_dataset(edges, n: int, damping: float,
@@ -260,7 +264,11 @@ def _run_ranks_as_dataset(edges, n: int, damping: float,
     import pandas as pd
     from ray.data.aggregate import Max, Sum
 
-    NB = PR_JOIN_BUCKETS
+    from ..functions.partitioning import bucket_count
+
+    # edges is materialized by the caller, so count() is metadata;
+    # sizing on edge rows bounds the per-bucket join input
+    NB = bucket_count(edges.count(), min_buckets=PR_JOIN_BUCKETS_FLOOR)
 
     def tag_edges(t: pa.Table) -> pa.Table:
         src = t["src"].combine_chunks()
@@ -431,7 +439,11 @@ def _run_ranks_as_dataset(edges, n: int, damping: float,
 def _project_ranks_dataset(graph, vkeys_ref, ranks_ds) -> pa.Table:
     """Final projection for the Dataset-ranks path: one more bucketed
     join of graph rows (vid via searchsorted) to the final ranks."""
-    NB = PR_JOIN_BUCKETS
+    from ..functions.partitioning import bucket_count
+
+    NB = bucket_count(
+        len(ray.get(vkeys_ref)), min_buckets=PR_JOIN_BUCKETS_FLOOR
+    )
 
     def tag_pages(t: pa.Table) -> pa.Table:
         keys = ray.get(vkeys_ref)

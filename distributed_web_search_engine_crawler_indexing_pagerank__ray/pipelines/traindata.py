@@ -42,11 +42,17 @@ import pyarrow.compute as pc
 from ray.data.aggregate import Sum
 
 from ..sources.tables import read_parquet_clean
+from ..functions.partitioning import bucket_count, parquet_token_estimate
 from ..functions.tokenize import MAX_WORD_LENGTH
 
 GRAM_N = 5  # word-level n-gram order for the contamination check
 BENCH_MOD = 97  # doc_id % BENCH_MOD == 0 marks the "benchmark" set
-NB = 32  # hash buckets for the gram / word partitioned joins
+# hash buckets for the gram / word partitioned joins are SIZE-DERIVED
+# per query (bucket_count over the text column's token estimate), so a
+# group holds ≤ ~target gram/word rows at any corpus size; 32 is the
+# small-scale floor.  Bucket membership of a gram/word is NB-invariant
+# (pure hash), so results don't depend on the derived count.
+NB_FLOOR = 32
 
 # shared SQL fragment: raw tokens (no stopword drop), as an ordered list.
 # COALESCE(text, '') mirrors the Ray side's ``text or ''`` — without it a
@@ -70,7 +76,8 @@ def _docs(sf_dir: str):
 def _raw_tokens(text: str) -> list[str]:
     """Tokenizer used by this module: lowercase, split on non-letters,
     keep non-empty tokens of len<=25.  NO stopword drop (unlike the
-    Indexer tokenizer) — mirrors ``_SQL_TOKLIST``."""
+    Indexer tokenizer) — mirrors ``_SQL_TOKLIST``.  Single-doc form;
+    the batch kernels use the vectorized :func:`_flat_tokens`."""
     import re
 
     out = []
@@ -80,29 +87,86 @@ def _raw_tokens(text: str) -> list[str]:
     return out
 
 
+def _flat_tokens(
+    t: pa.Table, with_tokens: bool = True
+) -> tuple[np.ndarray, np.ndarray | None]:
+    """Vectorized batch tokenizer — pyarrow ``utf8_lower`` +
+    ``split_pattern_regex`` + ``list_flatten`` instead of a per-doc
+    Python ``re.split`` loop (the r3 verdict's hot-kernel item).
+
+    Returns ``(parent_row_index int64[n_tokens], tokens
+    object[n_tokens] | None)`` in document order; token semantics are
+    identical to :func:`_raw_tokens` (the unchanged SQL oracles stay
+    hash-exact — tests/test_sql_oracles.py).  ``with_tokens=False``
+    skips materializing the token strings when only counts are needed
+    (pack_sequences)."""
+    txt = pc.coalesce(t["text"].combine_chunks(), pa.scalar("", pa.string()))
+    lists = pc.split_pattern_regex(pc.utf8_lower(txt), pattern="[^a-z]+")
+    flat = pc.list_flatten(lists)
+    parents = pc.list_parent_indices(lists)
+    ln = pc.utf8_length(flat)
+    keep = pc.and_(pc.greater(ln, 0), pc.less_equal(ln, MAX_WORD_LENGTH))
+    parents = pc.filter(parents, keep)
+    pn = parents.to_numpy(zero_copy_only=False).astype(np.int64)
+    if not with_tokens:
+        return pn, None
+    toks = np.asarray(pc.filter(flat, keep).to_pylist(), dtype=object)
+    return pn, toks
+
+
 # -- benchmark contamination check -------------------------------------------
 
 
-def _gram_table(t: pa.Table) -> pa.Table:
-    """Per-doc DISTINCT word 5-grams, md5-hashed, bucketed by hash."""
-    buckets, ghs, doc_ids = [], [], []
-    for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-        toks = _raw_tokens(text or "")
-        seen: set[str] = set()
-        for i in range(len(toks) - GRAM_N + 1):
-            gram = " ".join(toks[i : i + GRAM_N])
-            gh = hashlib.md5(gram.encode()).hexdigest()
-            if gh in seen:
-                continue
-            seen.add(gh)
-            ghs.append(gh)
-            doc_ids.append(doc_id)
-            buckets.append(int(gh[:8], 16) & (NB - 1))
+_EMPTY_GRAMS = pa.table(
+    {
+        "bucket": pa.array([], pa.int32()),
+        "gh": pa.array([], pa.uint64()),
+        "doc_id": pa.array([], pa.int64()),
+    }
+)
+
+
+def _gram_table(t: pa.Table, nb: int) -> pa.Table:
+    """Per-doc DISTINCT word 5-grams as UINT64 hashes (first 8 bytes of
+    the md5, big-endian — what the SQL oracle recomputes with
+    ``('0x' || substr(md5(g), 1, 16))::UBIGINT``), bucketed by hash.
+    8-byte keys instead of 32-char hex strings: ~4× smaller gram
+    shuffle and integer (not string) group/isin kernels downstream.
+    Tokenize + gram construction + per-doc dedup are vectorized
+    (shifted object-array joins over the flat token stream, one
+    ``drop_duplicates``); only the per-DISTINCT-gram md5 remains a
+    Python loop."""
+    parents, toks = _flat_tokens(t)
+    n = len(toks)
+    if n < GRAM_N:
+        return _EMPTY_GRAMS
+    # gram starts = positions whose (GRAM_N-1)-ahead token is still in
+    # the same document (parents is nondecreasing)
+    starts = np.flatnonzero(parents[: n - GRAM_N + 1] == parents[GRAM_N - 1 :])
+    if len(starts) == 0:
+        return _EMPTY_GRAMS
+    grams = toks[starts].copy()
+    for k in range(1, GRAM_N):
+        grams = grams + " " + toks[starts + k]
+    all_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    df = pd.DataFrame(
+        {"doc_id": all_ids[parents[starts]], "gram": grams}
+    ).drop_duplicates()
+    digests = b"".join(hashlib.md5(x.encode()).digest() for x in df["gram"])
+    gh = (
+        np.frombuffer(digests, dtype=">u8").reshape(-1, 2)[:, 0]
+        .astype(np.uint64)
+    )
+    # same bucket as before the uint64 switch: the top 4 bytes of the
+    # md5 (& nb-1); bucket choice is result-invariant anyway
+    buckets = ((gh >> np.uint64(32)).astype(np.int64) & (nb - 1)).astype(
+        np.int32
+    )
     return pa.table(
         {
-            "bucket": pa.array(buckets, pa.int32()),
-            "gh": pa.array(ghs, pa.string()),
-            "doc_id": pa.array(doc_ids, pa.int64()),
+            "bucket": pa.array(buckets),
+            "gh": pa.array(gh, pa.uint64()),
+            "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
         }
     )
 
@@ -117,8 +181,15 @@ def q_contamination_check(sf_dir: str):
     (benchmark grams of the bucket vs corpus grams of the bucket, a
     vectorized ``isin`` — never a broadcast of the benchmark set) →
     ``groupby(doc_id).sum``.  Returns the 100 most-contaminated
-    non-benchmark docs."""
-    grams = _docs(sf_dir).map_batches(_gram_table, batch_format="pyarrow")
+    non-benchmark docs.  NB is size-derived from the text column's
+    token estimate (gram rows ≈ tokens), bounding per-bucket memory."""
+    nb = bucket_count(
+        parquet_token_estimate(f"{sf_dir}/documents.parquet"),
+        min_buckets=NB_FLOOR,
+    )
+    grams = _docs(sf_dir).map_batches(
+        _gram_table, batch_format="pyarrow", fn_args=(nb,)
+    )
 
     # returns ARROW: the downstream Ray aggregate is ~10x slower on
     # pandas blocks than arrow blocks (measured 16 s vs 1.5 s on this
@@ -151,14 +222,39 @@ def q_contamination_check(sf_dir: str):
             out, preserve_index=False
         ).replace_schema_metadata(None)
 
+    # second phase: sum the ≤nb per-bucket partials of each doc.  A
+    # bucketed map_groups on a doc-hash bucket instead of
+    # groupby(doc_id).aggregate(Sum, Sum): Ray's sort-based Aggregate
+    # spent ~24 s remote on this tiny (≤ nb·n_docs rows) stream at
+    # sf0.1 (per-block × per-partition accumulator overhead), the
+    # plain Sort+map_groups shape ~0.4 s — same distributed memory
+    # bounds (one doc-bucket per task, ≤ target rows)
+    def sum_doc_bucket(g: pd.DataFrame) -> pa.Table:
+        out = (
+            g.groupby("doc_id", as_index=False)[["n", "hit"]]
+            .sum()
+            .astype({"doc_id": "int64", "n": "int64", "hit": "int64"})
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"].to_numpy()),
+                "n_grams": pa.array(out["n"].to_numpy()),
+                "n_contaminated": pa.array(out["hit"].to_numpy()),
+            }
+        )
+
+    def add_doc_bucket(t: pa.Table) -> pa.Table:
+        db = pc.cast(
+            pc.bit_wise_and(t["doc_id"], pa.scalar(nb - 1)), pa.int32()
+        )
+        return t.append_column("dbucket", db)
+
     per_doc = (
         grams.groupby("bucket")
         .map_groups(mark_bucket, batch_format="pandas")
-        .groupby("doc_id")
-        .aggregate(
-            Sum("n", alias_name="n_grams"),
-            Sum("hit", alias_name="n_contaminated"),
-        )
+        .map_batches(add_doc_bucket, batch_format="pyarrow")
+        .groupby("dbucket")
+        .map_groups(sum_doc_bucket, batch_format="pandas")
     )
 
     def finish(t: pa.Table) -> pa.Table:
@@ -197,7 +293,9 @@ def q_contamination_check(sf_dir: str):
 SQL_CONTAMINATION_CHECK = f"""
 WITH toks AS ({_SQL_TOKLIST}),
 grams AS (
-    SELECT DISTINCT doc_id, md5(array_to_string(l[i:i+{GRAM_N - 1}], ' ')) AS gh
+    SELECT DISTINCT doc_id,
+           ('0x' || substr(md5(array_to_string(l[i:i+{GRAM_N - 1}], ' ')),
+                           1, 16))::UBIGINT AS gh
     FROM toks, unnest(generate_series(1, greatest(len(l) - {GRAM_N - 1}, 0))) AS t(i)
 ),
 bench AS (SELECT DISTINCT gh FROM grams WHERE doc_id % {BENCH_MOD} = 0),
@@ -231,19 +329,25 @@ def q_repetition_signals(sf_dir: str):
     the integer counts make the rounded fractions order-independent."""
 
     def signals(t: pa.Table) -> pa.Table:
-        doc_ids, n_tok, n_dis, top = [], [], [], []
-        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            toks = _raw_tokens(text or "")
-            if not toks:
-                continue  # token-less docs have no signal row (SQL parity)
-            counts: dict[str, int] = {}
-            for w in toks:
-                counts[w] = counts.get(w, 0) + 1
-            doc_ids.append(doc_id)
-            n_tok.append(len(toks))
-            n_dis.append(len(counts))
-            top.append(max(counts.values()))
-        n = np.asarray(n_tok, dtype=np.float64)
+        parents, toks = _flat_tokens(t)
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "dup_frac": pa.array([], pa.float64()),
+                "top_frac": pa.array([], pa.float64()),
+            }
+        )
+        if len(parents) == 0:
+            return empty  # token-less docs have no signal row (SQL parity)
+        wc = (
+            pd.DataFrame({"p": parents, "w": toks})
+            .groupby(["p", "w"], sort=False)
+            .size()
+        )
+        per = wc.groupby(level=0).agg(["sum", "count", "max"]).sort_index()
+        all_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = per["sum"].to_numpy(dtype=np.float64)
 
         def r6(x: np.ndarray) -> np.ndarray:
             # half-up like the SQL side (ratios of small ints DO tie)
@@ -251,19 +355,14 @@ def q_repetition_signals(sf_dir: str):
 
         return pa.table(
             {
-                "doc_id": pa.array(doc_ids, pa.int64()),
-                "n_tokens": pa.array(n_tok, pa.int64()),
+                "doc_id": pa.array(all_ids[per.index.to_numpy()], pa.int64()),
+                "n_tokens": pa.array(per["sum"].to_numpy(np.int64), pa.int64()),
                 "dup_frac": pa.array(
-                    r6(1.0 - np.asarray(n_dis, dtype=np.float64) / n)
-                    if len(n)
-                    else np.array([], dtype=np.float64),
+                    r6(1.0 - per["count"].to_numpy(dtype=np.float64) / n),
                     pa.float64(),
                 ),
                 "top_frac": pa.array(
-                    r6(np.asarray(top, dtype=np.float64) / n)
-                    if len(n)
-                    else np.array([], dtype=np.float64),
-                    pa.float64(),
+                    r6(per["max"].to_numpy(dtype=np.float64) / n), pa.float64()
                 ),
             }
         )
@@ -305,27 +404,45 @@ def q_lm_unigram_score(sf_dir: str):
     are the two final divisions, applied in the same order as the SQL
     oracle.  Shape: per-doc partial counts → global ``groupby(word)``
     frequency table → per-word-bucket join back (no vocab broadcast)
-    → ``groupby(doc_id).sum``."""
+    → ``groupby(doc_id).sum``.  NB size-derived (word-count rows ≤
+    token estimate), bounding per-bucket memory at any corpus size."""
+    nb = bucket_count(
+        parquet_token_estimate(f"{sf_dir}/documents.parquet"),
+        min_buckets=NB_FLOOR,
+    )
 
     def doc_counts(t: pa.Table) -> pa.Table:
-        doc_ids, words, cs, buckets = [], [], [], []
-        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            counts: dict[str, int] = {}
-            for w in _raw_tokens(text or ""):
-                counts[w] = counts.get(w, 0) + 1
-            for w, c in counts.items():
-                doc_ids.append(doc_id)
-                words.append(w)
-                cs.append(c)
-                buckets.append(
-                    int(hashlib.md5(w.encode()).hexdigest()[:8], 16) & (NB - 1)
-                )
+        # vectorized: flat tokens → one pandas groupby for the per-doc
+        # word counts; md5 only over the batch's DISTINCT words
+        parents, toks = _flat_tokens(t)
+        if len(parents) == 0:
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int32()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "word": pa.array([], pa.string()),
+                    "c": pa.array([], pa.int64()),
+                }
+            )
+        wc = (
+            pd.DataFrame({"p": parents, "word": toks})
+            .groupby(["p", "word"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        bmap = {
+            w: int(hashlib.md5(w.encode()).hexdigest()[:8], 16) & (nb - 1)
+            for w in pd.unique(wc["word"])
+        }
+        all_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {
-                "bucket": pa.array(buckets, pa.int32()),
-                "doc_id": pa.array(doc_ids, pa.int64()),
-                "word": pa.array(words, pa.string()),
-                "c": pa.array(cs, pa.int64()),
+                "bucket": pa.array(
+                    wc["word"].map(bmap).to_numpy(np.int32), pa.int32()
+                ),
+                "doc_id": pa.array(all_ids[wc["p"].to_numpy()], pa.int64()),
+                "word": pa.array(wc["word"], pa.string()),
+                "c": pa.array(wc["c"].to_numpy(np.int64), pa.int64()),
             }
         )
 
@@ -348,14 +465,39 @@ def q_lm_unigram_score(sf_dir: str):
             out, preserve_index=False
         ).replace_schema_metadata(None)
 
+    # second phase: sum each doc's ≤nb per-bucket partials via a
+    # bucketed map_groups on a doc-hash bucket — Ray's sort-based
+    # Aggregate is ~50× slower on this tiny stream (see
+    # q_contamination_check's sum_doc_bucket note)
+    def sum_doc_bucket(g: pd.DataFrame) -> pa.Table:
+        out = (
+            g.groupby("doc_id", as_index=False)[["n", "prod"]]
+            .sum()
+            .astype({"doc_id": "int64", "n": "int64", "prod": "int64"})
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"].to_numpy()),
+                "n_tokens": pa.array(out["n"].to_numpy()),
+                "p": pa.array(out["prod"].to_numpy()),
+            }
+        )
+
+    def add_doc_bucket(t: pa.Table) -> pa.Table:
+        db = pc.cast(
+            pc.bit_wise_and(t["doc_id"], pa.scalar(nb - 1)), pa.int32()
+        )
+        return t.append_column("dbucket", db)
+
     # per_doc is doc-sized (3 ints per doc) — materializing it is the
     # cheap way to read the global token total off it without a second
     # pass over the word-level stream
     per_doc = (
         dc.groupby("bucket")
         .map_groups(score_bucket, batch_format="pandas")
-        .groupby("doc_id")
-        .aggregate(Sum("n", alias_name="n_tokens"), Sum("prod", alias_name="p"))
+        .map_batches(add_doc_bucket, batch_format="pyarrow")
+        .groupby("dbucket")
+        .map_groups(sum_doc_bucket, batch_format="pandas")
         .materialize()
     )
     total = per_doc.aggregate(Sum("n_tokens", alias_name="s"))["s"] or 0
@@ -430,9 +572,11 @@ def q_pack_sequences(sf_dir: str):
     import ray
 
     def count_tokens(t: pa.Table) -> pa.Table:
-        doc_ids = t["doc_id"].to_pylist()
-        ns = [len(_raw_tokens(x or "")) for x in t["text"].to_pylist()]
-        ids = np.asarray(doc_ids, dtype=np.int64)
+        # counts only — the vectorized tokenizer skips materializing
+        # the token strings entirely
+        parents, _ = _flat_tokens(t, with_tokens=False)
+        ns = np.bincount(parents, minlength=t.num_rows).astype(np.int64)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {
                 "bucket": pa.array(ids // PACK_BUCKET, pa.int64()),
@@ -515,21 +659,25 @@ def q_chunk_documents(sf_dir: str):
     and hashing the per-token work."""
 
     def chunks(t: pa.Table) -> pa.Table:
+        # vectorized tokenize; the remaining loop is over CHUNKS (a
+        # handful per doc) with md5 the per-chunk work
+        parents, toks = _flat_tokens(t)
+        all_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.bincount(parents, minlength=t.num_rows)
+        offsets = np.concatenate([[0], np.cumsum(counts)])
         doc_ids, chunk_ids, lens, hashes = [], [], [], []
-        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            toks = _raw_tokens(text or "")
-            n = len(toks)
-            if n == 0:
-                continue
+        for d in np.flatnonzero(counts):
+            tl = toks[offsets[d] : offsets[d + 1]]
+            n = int(counts[d])
             n_chunks = 1 + max(0, -(-(n - CHUNK_LEN) // CHUNK_STRIDE))
             for j in range(n_chunks):
                 lo = j * CHUNK_STRIDE
                 hi = min(lo + CHUNK_LEN, n)
-                doc_ids.append(doc_id)
+                doc_ids.append(all_ids[d])
                 chunk_ids.append(j)
                 lens.append(hi - lo)
                 hashes.append(
-                    hashlib.md5(" ".join(toks[lo:hi]).encode()).hexdigest()
+                    hashlib.md5(" ".join(tl[lo:hi]).encode()).hexdigest()
                 )
         return pa.table(
             {
@@ -589,17 +737,19 @@ def q_bm25_scores(sf_dir: str):
     terms = list(BM25_TERMS)
 
     def counts(t: pa.Table) -> pa.Table:
-        cols: dict[str, list] = {"doc_id": [], "dl": []}
+        # vectorized: doc length + per-term counts are bincounts over
+        # the flat token stream
+        parents, toks = _flat_tokens(t)
+        nrows = t.num_rows
+        dl = np.bincount(parents, minlength=nrows).astype(np.int64)
+        has = dl > 0
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = {"doc_id": ids[has], "dl": dl[has]}
         for w in terms:
-            cols[f"c_{w}"] = []
-        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            toks = _raw_tokens(text or "")
-            if not toks:
-                continue
-            cols["doc_id"].append(doc_id)
-            cols["dl"].append(len(toks))
-            for w in terms:
-                cols[f"c_{w}"].append(sum(1 for x in toks if x == w))
+            cw = np.bincount(
+                parents[toks == w], minlength=nrows
+            ).astype(np.int64)
+            cols[f"c_{w}"] = cw[has]
         return pa.table(
             {k: pa.array(v, pa.int64()) for k, v in cols.items()}
         )
