@@ -41,9 +41,12 @@ resumable-output layout); state exchanges are batched actor RPCs
 sharded by hash (no all-to-all shuffle in the steady state); frontier
 rows move task → FrontierShard → task (the r2 driver-held frontier
 table is gone — the per-wave driver allocation is now O(P) counts +
-O(tasks) metadata rows).  At 10^10 URLs each FrontierShard would
-additionally spill its committed slice to its own parquet partition
-instead of actor memory — a shard-local, mechanical extension.
+O(tasks) metadata rows).  At 10^10 URLs each FrontierShard additionally
+SPILLS its committed slice to its own parquet partition instead of
+actor memory (``frontier_spill_rows`` / GRAFT_FRONTIER_SPILL_ROWS;
+range pulls read only the covering row groups — see
+state/actors.FrontierShard); tests/test_crawl_scenarios.py proves a
+spilling crawl is wave-identical to the in-memory one.
 """
 
 from __future__ import annotations
@@ -205,6 +208,10 @@ class CrawlEngine:
         record_waves: bool = False,
         out_dir: str | None = None,
         checkpoint_dir: str | None = None,
+        frontier_spill_rows: int | None = None,  # 0/None-env = in-memory;
+        # >0: each FrontierShard spills its committed part-sorted slice
+        # to its own parquet partition past this row count (the 10^10-
+        # URL path; GRAFT_FRONTIER_SPILL_ROWS sets it fleet-wide)
     ):
         self.web_cfg = web_cfg
         self.params = params
@@ -244,8 +251,15 @@ class CrawlEngine:
             if actor_num_cpus
             else FrontierShard
         )
+        import os
+
+        spill = (
+            frontier_spill_rows
+            if frontier_spill_rows is not None
+            else int(os.environ.get("GRAFT_FRONTIER_SPILL_ROWS", 0))
+        )
         self.frontier_shards = [
-            front_cls.remote(i, nf, N_FRONTIER_PARTS) for i in range(nf)
+            front_cls.remote(i, nf, N_FRONTIER_PARTS, spill) for i in range(nf)
         ]
         self._f_bounds = [
             (s + 1) * N_FRONTIER_PARTS // nf for s in range(nf)

@@ -589,15 +589,43 @@ class FrontierShard:
     [s·P/S, (s+1)·P/S)), so a block's range pull touches ~1 shard.
     Duplicates survive pushes (blocks dedup themselves, exactly as the
     r2 driver table allowed); commit sorts by part once (vectorized)
-    so pulls are O(log n) searchsorted slices."""
+    so pulls are O(log n) searchsorted slices.
 
-    def __init__(self, shard_id: int, n_shards: int, n_parts: int):
+    SPILL (the 10^10-URL path): when the committed frontier exceeds
+    ``spill_threshold`` rows (ctor arg, or the
+    ``GRAFT_FRONTIER_SPILL_ROWS`` env; 0 = keep in memory), the
+    part-sorted slice is written to this shard's own parquet partition
+    under /tmp and the actor keeps only a (n_parts+1)-int64 offset
+    index; a range pull then reads just the row groups covering
+    [offsets[lo], offsets[hi+1]) — shard memory is O(n_parts), not
+    O(frontier).  The per-shard parquet files double as the
+    per-partition frontier lineage a resume can re-push."""
+
+    def __init__(
+        self,
+        shard_id: int,
+        n_shards: int,
+        n_parts: int,
+        spill_threshold: int | None = None,
+    ):
+        import os
+
+        self.shard_id = shard_id
         self.lo = shard_id * n_parts // n_shards
         self.hi = (shard_id + 1) * n_parts // n_shards
         self.n_parts = n_parts
         self.buf: list[pa.Table] = []
         self.cur: pa.Table | None = None
         self.cur_parts = None  # numpy mirror of cur["part"] for slicing
+        self.spill_threshold = (
+            spill_threshold
+            if spill_threshold is not None
+            else int(os.environ.get("GRAFT_FRONTIER_SPILL_ROWS", 0))
+        )
+        self.spill_dir: str | None = None
+        self.spill_path: str | None = None  # set while cur lives on disk
+        self.offsets = None  # (n_parts+1,) int64 row offsets when spilled
+        self._wave_no = 0
 
     def push(self, tbl: pa.Table) -> int:
         """Buffer next-wave rows (pre-routed to this shard's range)."""
@@ -618,9 +646,12 @@ class FrontierShard:
 
     def commit(self):
         """Wave barrier: promote the buffer to the current frontier,
-        return this shard's per-part row counts (len n_parts int64)."""
+        return this shard's per-part row counts (len n_parts int64).
+        Past ``spill_threshold`` rows the sorted slice goes to this
+        shard's parquet partition and only the offset index stays."""
         import numpy as np
 
+        self._drop_spill()
         if self.buf:
             t = pa.concat_tables(self.buf)
             parts = t["part"].combine_chunks().to_numpy()
@@ -631,17 +662,83 @@ class FrontierShard:
             self.cur = None
             self.cur_parts = None
         self.buf = []
+        self._wave_no += 1
         if self.cur is None:
             return np.zeros(self.n_parts, dtype=np.int64)
-        return np.bincount(self.cur_parts, minlength=self.n_parts).astype(
+        counts = np.bincount(self.cur_parts, minlength=self.n_parts).astype(
             np.int64
         )
+        if self.spill_threshold and self.cur.num_rows > self.spill_threshold:
+            self._spill(counts)
+        return counts
+
+    def _spill(self, counts) -> None:
+        import os
+        import tempfile
+
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        if self.spill_dir is None:
+            self.spill_dir = tempfile.mkdtemp(
+                prefix=f"frontier_shard{self.shard_id}_"
+            )
+        path = os.path.join(self.spill_dir, f"wave{self._wave_no}.parquet")
+        # row groups ≈ a pull's worth, so a range pull reads ~its rows
+        pq.write_table(
+            self.cur, path,
+            row_group_size=max(1024, self.spill_threshold // 4),
+        )
+        self.offsets = np.concatenate(
+            [np.zeros(1, dtype=np.int64), np.cumsum(counts)]
+        )
+        self.spill_path = path
+        self.cur = None
+        self.cur_parts = None
+
+    def _drop_spill(self) -> None:
+        import os
+
+        if self.spill_path is not None:
+            try:
+                os.unlink(self.spill_path)
+            except OSError:
+                pass
+            self.spill_path = None
+            self.offsets = None
+
+    def _read_spilled_rows(self, a: int, b: int) -> pa.Table:
+        """Rows [a, b) of the spilled part-sorted table, touching only
+        the row groups that intersect the range."""
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(self.spill_path)
+        md = pf.metadata
+        groups, start = [], 0
+        first_start = 0
+        for g in range(md.num_row_groups):
+            n = md.row_group(g).num_rows
+            if start < b and start + n > a:
+                if not groups:
+                    first_start = start
+                groups.append(g)
+            start += n
+        if not groups:
+            return pa.table({"url": pa.array([], pa.string()),
+                             "part": pa.array([], pa.int32())})
+        t = pf.read_row_groups(groups)
+        return t.slice(a - first_start, b - a)
 
     def pull(self, lo: int, hi: int) -> pa.Table:
         """URLs of the committed frontier with lo <= part <= hi (one
-        searchsorted slice of the part-sorted table)."""
+        searchsorted slice of the part-sorted table, or a row-group
+        range read of the spilled parquet)."""
         import numpy as np
 
+        if self.spill_path is not None:
+            a = int(self.offsets[lo])
+            b = int(self.offsets[hi + 1])
+            return self._read_spilled_rows(a, b).select(["url"])
         if self.cur is None:
             return pa.table({"url": pa.array([], pa.string())})
         a = int(np.searchsorted(self.cur_parts, lo, side="left"))
@@ -650,6 +747,10 @@ class FrontierShard:
 
     def pull_all(self) -> pa.Table:
         """(url, part) of the committed frontier — checkpoint/tests."""
+        if self.spill_path is not None:
+            return self._read_spilled_rows(0, int(self.offsets[-1])).select(
+                ["url", "part"]
+            )
         if self.cur is None:
             return pa.table(
                 {"url": pa.array([], pa.string()),

@@ -136,3 +136,29 @@ def test_randomized_conformance_fuzz(ray_session):
         assert [w["attempted"] for w in eng.waves] == [
             len(w.attempted) for w in o.waves
         ], ctx
+
+
+def test_frontier_spill_identical_waves(ray_session):
+    """The 10^10-URL spill path: a crawl whose FrontierShards spill
+    every committed slice to parquet (tiny threshold) is wave-identical
+    to the in-memory crawl — spilling changes WHERE the frontier lives,
+    never what is crawled."""
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines.crawl import (
+        CrawlEngine,
+    )
+
+    cfg = WebConfig(n_docs=300, n_hosts=8)
+    params = CrawlParams(target_pages=150, max_waves=8, n_seeds=6)
+    base = CrawlEngine(cfg, params, n_host_shards=3, n_seen_shards=3,
+                       record_waves=True)
+    base.run()
+    spill = CrawlEngine(cfg, params, n_host_shards=3, n_seen_shards=3,
+                        record_waves=True, frontier_spill_rows=8)
+    spill.run()
+    assert spill.seen_set() == base.seen_set()
+    assert spill.queue_set() == base.queue_set()
+    assert spill.pages_total == base.pages_total
+    keys = ("wave", "attempted", "throttled", "visited_added", "fetched")
+    assert [
+        {k: w.get(k) for k in keys} for w in spill.waves
+    ] == [{k: w.get(k) for k in keys} for w in base.waves]

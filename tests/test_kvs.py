@@ -76,3 +76,42 @@ def test_scan_sorted_rename_delete(ray_session):
     assert kvs.get("t2", "k001", "v") == b"k001"
     kvs.delete_table("t2")
     assert kvs.count("t2") == 0
+
+
+def test_frontier_shard_spill_roundtrip(ray_session):
+    """Direct FrontierShard spill semantics: with a tiny threshold the
+    committed slice lives in parquet, and range pulls / pull_all return
+    exactly what the in-memory path would."""
+    import ray
+    import pyarrow as pa
+
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.state.actors import (
+        FrontierShard,
+    )
+
+    mem = FrontierShard.remote(0, 1, 16, 0)        # in-memory reference
+    sp = FrontierShard.remote(0, 1, 16, 4)         # spills past 4 rows
+    t = pa.table(
+        {
+            "url": pa.array([f"u{i}" for i in range(40)], pa.string()),
+            "part": pa.array([i % 16 for i in range(40)], pa.int32()),
+        }
+    )
+    for sh in (mem, sp):
+        ray.get(sh.push_routed.remote(t))
+        counts = ray.get(sh.commit.remote())
+        assert int(counts.sum()) == 40
+    for lo, hi in [(0, 15), (3, 5), (7, 7), (12, 15), (0, 0)]:
+        a = ray.get(mem.pull.remote(lo, hi))["url"].to_pylist()
+        b = ray.get(sp.pull.remote(lo, hi))["url"].to_pylist()
+        assert a == b and len(a) == sum(
+            1 for i in range(40) if lo <= i % 16 <= hi
+        )
+    assert (
+        ray.get(mem.pull_all.remote()).to_pylist()
+        == ray.get(sp.pull_all.remote()).to_pylist()
+    )
+    # a second commit with no pushes drops the spill and empties
+    for sh in (mem, sp):
+        assert int(ray.get(sh.commit.remote()).sum()) == 0
+        assert ray.get(sh.pull.remote(0, 15)).num_rows == 0
