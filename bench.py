@@ -32,10 +32,51 @@ ZIPF_S = float(os.environ.get("BENCH_ZIPF", "0.3"))
 PARAGRAPHS = int(os.environ.get("BENCH_PARAGRAPHS", "120"))
 LINKS = int(os.environ.get("BENCH_LINKS", "12"))
 
+# Single-core pure-CPU rate (loops/s of the probe below) measured in a
+# HEALTHY burst window on this box (2026-08-18).  run_bench re-measures
+# before the crawl and annotates the ratio, so a depleted-VM window is
+# visible in the recorded JSON instead of masquerading as a code
+# regression (the r3 bench recorded 241 s in a window whose wave-0 was
+# ~7x slower than a healthy rerun of identical code).
+HEALTHY_PROBE_RATE = float(os.environ.get("BENCH_HEALTHY_PROBE", "6880"))
+
+
+def _probe_rate(secs: float = 3.0) -> float:
+    """Iterations/s of a tiny pure-Python loop on one pinned core —
+    the window-health canary (no Ray, no IO)."""
+    code = (
+        "import time\n"
+        f"t0=time.time(); n=0\n"
+        f"while time.time()-t0 < {secs}:\n"
+        "    x=sum(i*i for i in range(2000)); n+=1\n"
+        "print(n)"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        check=True,
+        preexec_fn=(lambda: os.sched_setaffinity(0, {0})),
+    ).stdout
+    return int(out.strip()) / secs
+
+
 QUERY_NAMES = [
     "groupby_fold",
     "filter_project",
     "join_broadcast",
+    "join_shuffle",
+    "fold_global",
+    "distinct",
+    "intersection",
+    "sample",
+    "topk",
+    "count",
+    "quality",
+    "window_sliding",
+    "top_users",
+    "dedup_embedding",
+    "dedup_embedding_lsh",
     "wordcount",
     "inverted_index",
     "tfidf_docs",
@@ -77,6 +118,17 @@ QUERY_NAMES = [
 
 
 def run_bench() -> dict:
+    # window-health canary BEFORE anything heavy: if the VM's burst
+    # budget is depleted (< 75% of the healthy single-core rate), wait
+    # one recovery interval and re-probe — then record whatever we got
+    # (annotated) rather than silently shipping a depleted number
+    probe = _probe_rate()
+    if probe < 0.75 * HEALTHY_PROBE_RATE and not os.environ.get(
+        "BENCH_NO_PROBE_WAIT"
+    ):
+        time.sleep(float(os.environ.get("BENCH_PROBE_RECOVERY_SECS", "120")))
+        probe = max(probe, _probe_rate())
+
     import ray
 
     ray.init(
@@ -190,6 +242,11 @@ def run_bench() -> dict:
         ],
         "pages_per_sec": round(pages / crawl_wall, 2),
         "attempts_per_sec": round(attempts / crawl_wall, 2),
+        # window-health annotation: 1.0 = the healthy-window single-core
+        # rate; «0.75 means the VM's burst budget was depleted and the
+        # walls above are pessimistic (see HEALTHY_PROBE_RATE)
+        "probe_rate": round(probe),
+        "window_health": round(probe / HEALTHY_PROBE_RATE, 3),
     }
 
 
