@@ -40,10 +40,22 @@ LINKS = int(os.environ.get("BENCH_LINKS", "12"))
 # ~7x slower than a healthy rerun of identical code).
 HEALTHY_PROBE_RATE = float(os.environ.get("BENCH_HEALTHY_PROBE", "6880"))
 
+# Aggregate loops/s across 8 pinned cores in a healthy window.  The
+# round-4 A/B found a 158 s crawl (healthy = ~100 s) whose SINGLE-core
+# probe read healthy: burst depletion can cap aggregate multi-core
+# throughput while one pinned core still runs at full rate.  The
+# multi-core canary catches that mode.  (≈ 8 × single-core × the
+# ~0.85 measured 1→8 hw ceiling, BASELINE.md §4.)
+HEALTHY_PROBE_RATE_MC = float(os.environ.get("BENCH_HEALTHY_PROBE_MC", "46500"))
+PROBE_MC_CORES = 8
 
-def _probe_rate(secs: float = 3.0) -> float:
-    """Iterations/s of a tiny pure-Python loop on one pinned core —
-    the window-health canary (no Ray, no IO)."""
+
+def _probe_rate(secs: float = 3.0, cores: int = 1) -> float:
+    """Aggregate iterations/s of a tiny pure-Python loop on ``cores``
+    distinct pinned cores — the window-health canary (no Ray, no IO).
+    cores=1 detects per-core frequency throttling; cores>1 additionally
+    detects aggregate burst-budget depletion that leaves a lone core
+    unaffected."""
     code = (
         "import time\n"
         f"t0=time.time(); n=0\n"
@@ -51,14 +63,16 @@ def _probe_rate(secs: float = 3.0) -> float:
         "    x=sum(i*i for i in range(2000)); n+=1\n"
         "print(n)"
     )
-    out = subprocess.run(
-        [sys.executable, "-c", code],
-        capture_output=True,
-        text=True,
-        check=True,
-        preexec_fn=(lambda: os.sched_setaffinity(0, {0})),
-    ).stdout
-    return int(out.strip()) / secs
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", code],
+            stdout=subprocess.PIPE,
+            text=True,
+            preexec_fn=(lambda c=c: os.sched_setaffinity(0, {c})),
+        )
+        for c in range(cores)
+    ]
+    return sum(int(p.communicate()[0]) for p in procs) / secs
 
 
 QUERY_NAMES = [
@@ -123,11 +137,14 @@ def run_bench() -> dict:
     # one recovery interval and re-probe — then record whatever we got
     # (annotated) rather than silently shipping a depleted number
     probe = _probe_rate()
-    if probe < 0.75 * HEALTHY_PROBE_RATE and not os.environ.get(
-        "BENCH_NO_PROBE_WAIT"
-    ):
+    probe_mc = _probe_rate(cores=PROBE_MC_CORES)
+    if (
+        probe < 0.75 * HEALTHY_PROBE_RATE
+        or probe_mc < 0.75 * HEALTHY_PROBE_RATE_MC
+    ) and not os.environ.get("BENCH_NO_PROBE_WAIT"):
         time.sleep(float(os.environ.get("BENCH_PROBE_RECOVERY_SECS", "120")))
         probe = max(probe, _probe_rate())
+        probe_mc = max(probe_mc, _probe_rate(cores=PROBE_MC_CORES))
 
     import ray
 
@@ -237,6 +254,13 @@ def run_bench() -> dict:
                 "throttled": w["throttled"],
                 "queue_size": w["queue_size"],
                 "wall_sec": w["t_wall"],
+                # per-stage attribution rides along when
+                # CRAWL_STAGE_TIMING=1 (A/B and drift forensics)
+                **(
+                    {"stage_timings": w["stage_timings"]}
+                    if "stage_timings" in w
+                    else {}
+                ),
             }
             for i, w in enumerate(eng.waves)
         ],
@@ -247,6 +271,10 @@ def run_bench() -> dict:
         # walls above are pessimistic (see HEALTHY_PROBE_RATE)
         "probe_rate": round(probe),
         "window_health": round(probe / HEALTHY_PROBE_RATE, 3),
+        # aggregate 8-core canary: catches burst depletion that the
+        # single-core probe misses (see HEALTHY_PROBE_RATE_MC)
+        "probe_rate_mc": round(probe_mc),
+        "window_health_mc": round(probe_mc / HEALTHY_PROBE_RATE_MC, 3),
     }
 
 
@@ -262,30 +290,11 @@ def hw_scaling_ceiling(lo: int, hi: int, secs: float = 6.0) -> dict:
     at both sizes, so the probe's ratio is the correct normalizer for
     single-box two-level measurements (BASELINE.md §4)."""
 
-    def run_level(k: int) -> float:
-        procs = [
-            subprocess.Popen(
-                [
-                    sys.executable,
-                    "-c",
-                    "import time\n"
-                    "t0=time.time(); n=0\n"
-                    f"while time.time()-t0 < {secs}:\n"
-                    "    x=sum(i*i for i in range(2000)); n+=1\n"
-                    "print(n)",
-                ],
-                stdout=subprocess.PIPE,
-                text=True,
-                preexec_fn=(lambda c=c: os.sched_setaffinity(0, {c})),
-            )
-            for c in range(k)
-        ]
-        return sum(int(p.communicate()[0]) for p in procs) / secs
     # interleave a settle gap so the second level starts from the same
     # thermal state the first did
-    r_lo = run_level(lo)
+    r_lo = _probe_rate(secs, cores=lo)
     time.sleep(2)
-    r_hi = run_level(hi)
+    r_hi = _probe_rate(secs, cores=hi)
     return {
         "probe_rate_lo": round(r_lo),
         "probe_rate_hi": round(r_hi),
