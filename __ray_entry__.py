@@ -112,8 +112,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keep_latest": events.q_keep_latest,
         "grouped_quantiles": events.q_grouped_quantiles,
         "moving_average": events.q_moving_average,
-        # --- entry #51: oracled but past the driver's 50-query window ---
+        # --- oracled but past the driver's 50-query window (all still
+        # hash-verified every run by tests/test_sql_oracles.py) ---
         "count": relational.q_count,
+        "rollup_revenue": relational.q_rollup_revenue,
+        "pivot_revenue": relational.q_pivot_revenue,
+        "stratified_sample": relational.q_stratified_sample,
+        "source_mix": textpipe.q_source_mix,
+        "pii_scrub": events.q_pii_scrub,
         # rows-only from here: data-dependent (k-means) or exact
         # reference-semantics oracles run in tests/ instead of SQL
         "knn_ivf": similarity.q_knn_ivf,
@@ -183,4 +189,9 @@ def oracle_sql() -> dict[str, str]:
         "keep_latest": events.SQL_KEEP_LATEST,
         "grouped_quantiles": events.SQL_GROUPED_QUANTILES,
         "moving_average": events.SQL_MOVING_AVERAGE,
+        "rollup_revenue": relational.SQL_ROLLUP_REVENUE,
+        "pivot_revenue": relational.SQL_PIVOT_REVENUE,
+        "stratified_sample": relational.SQL_STRATIFIED_SAMPLE,
+        "source_mix": textpipe.SQL_SOURCE_MIX,
+        "pii_scrub": events.SQL_PII_SCRUB,
     }

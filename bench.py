@@ -128,6 +128,11 @@ QUERY_NAMES = [
     "bm25_scores",
     "join_left",
     "global_rank",
+    "rollup_revenue",
+    "pivot_revenue",
+    "stratified_sample",
+    "source_mix",
+    "pii_scrub",
 ]
 
 

@@ -865,3 +865,49 @@ WITH e AS (
 SELECT user_id, floor(s / c + 0.5) / 1000000.0 AS ma3
 FROM w WHERE rn = 1
 """
+
+
+# -- PII-style redaction scrub (pure vectorized map, no shuffle) --------------
+
+PII_PATTERN = "[0-9]+"  # digit runs in event props; email/phone regexes
+# swap in unchanged at deploy time — both engines (pyarrow and DuckDB)
+# run RE2, so any RE2 pattern keeps the oracle bit-exact
+
+
+def q_pii_scrub(sf_dir: str):
+    """Redaction pass over ``events.props``: replace every match of
+    ``PII_PATTERN`` with ``#`` and report the per-record hit count —
+    the scrub-before-training stage of a data pipeline (emails, phone
+    numbers, ids), demonstrated on the digit runs this synthetic data
+    actually contains.
+
+    Shape: a single ``map_batches`` with pyarrow's RE2 kernels
+    (``replace_substring_regex`` + ``count_substring_regex``) — no
+    Python per-row loop, no shuffle, embarrassingly parallel at any
+    scale; the model for all regex-scrub stages in this engine."""
+
+    ds = _events(sf_dir, columns=["event_id", "props"])
+
+    def scrub(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "scrubbed": pc.replace_substring_regex(
+                    t["props"], pattern=PII_PATTERN, replacement="#"
+                ),
+                "n_hits": pc.cast(
+                    pc.count_substring_regex(t["props"], pattern=PII_PATTERN),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+SQL_PII_SCRUB = f"""
+SELECT event_id,
+       regexp_replace(props, '{PII_PATTERN}', '#', 'g') AS scrubbed,
+       len(regexp_extract_all(props, '{PII_PATTERN}')) AS n_hits
+FROM events
+"""

@@ -889,3 +889,280 @@ SELECT doc_id, n_chars,
        row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rank
 FROM documents
 """
+
+
+# -- rollup aggregate (grouping-sets from one leaf pass) ----------------------
+
+
+def q_rollup_revenue(sf_dir: str):
+    """``GROUP BY ROLLUP(l_returnflag, l_linestatus)`` — revenue + row
+    counts at three levels: (flag, status), (flag), grand total, with
+    subtotal labels coalesced to ``'ALL'`` (null-free output, stable
+    hashing; the data's flags/statuses are single chars so no
+    collision).
+
+    Plan: ONE shuffle total.  ``map_batches`` pre-aggregates each block
+    to ≤ |flags × statuses| integer-cent partials (arrow ``group_by``),
+    a groupby reduces those to the leaf table — whose cardinality is
+    bounded by the domain (a handful of rows at ANY input scale, the
+    TPC-H Q1 property) — and both rollup levels are derived from the
+    leaf partials with pandas re-aggregation on the driver; no second
+    pass over the input.  Integer-cent sums make every level
+    order-independent, hence hash-exact vs the SQL oracle."""
+    import pandas as pd
+
+    ds = _read(
+        sf_dir, "lineitem",
+        ["l_returnflag", "l_linestatus", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(rev, pa.scalar(100.0)), pa.scalar(0.5))),
+            pa.int64(),
+        )
+        g = (
+            pa.table(
+                {
+                    "l_returnflag": t["l_returnflag"],
+                    "l_linestatus": t["l_linestatus"],
+                    "cents": cents,
+                    "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                }
+            )
+            .group_by(["l_returnflag", "l_linestatus"])
+            .aggregate([("cents", "sum"), ("n", "sum")])
+        )
+        return g.rename_columns(["l_returnflag", "l_linestatus", "cents", "n"])
+
+    leaf = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("cents", alias_name="cents"), Sum("n", alias_name="n"))
+        .to_pandas()  # bounded by the group domain, not the input size
+    )
+    lv1 = leaf.groupby("l_returnflag", as_index=False)[["cents", "n"]].sum()
+    lv1["l_linestatus"] = "ALL"
+    lv0 = pd.DataFrame(
+        {
+            "l_returnflag": ["ALL"],
+            "l_linestatus": ["ALL"],
+            "cents": [leaf["cents"].sum()],
+            "n": [leaf["n"].sum()],
+        }
+    )
+    out = pd.concat([leaf, lv1, lv0], ignore_index=True)
+    return pa.table(
+        {
+            "l_returnflag": pa.array(out["l_returnflag"], pa.string()),
+            "l_linestatus": pa.array(out["l_linestatus"], pa.string()),
+            "sum_revenue": pa.array(
+                (out["cents"].to_numpy(dtype=np.int64) / 100.0).round(2),
+                pa.float64(),
+            ),
+            "n_rows": pa.array(out["n"].to_numpy(dtype=np.int64), pa.int64()),
+        }
+    )
+
+
+SQL_ROLLUP_REVENUE = """
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       round(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                      AS BIGINT)) / 100.0, 2) AS sum_revenue,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+# -- pivot (long → wide conditional aggregation) -------------------------------
+
+PIVOT_YEARS = tuple(range(1995, 2002))  # o_orderdate spans 1995-2001
+
+
+def q_pivot_revenue(sf_dir: str):
+    """Order revenue pivoted wide: one row per customer nation, one
+    column per order year (``rev_1995 … rev_2001``) — the long→wide
+    reshape every reporting layer needs, as conditional aggregation.
+
+    Plan: both dims (customer → nationkey, nation → name) broadcast
+    ONCE via ``ray.put`` and applied with vectorized ``pc.index_in``
+    (no shuffle for the dim joins); each block pivots its own rows to
+    |nations| × |years| integer-cent partials (pandas pivot_table on
+    the block only), and the single shuffle is a tiny
+    ``groupby(n_name)`` over those partials — additive, so hash-exact.
+    Wide columns are FIXED by the year domain, so the schema is stable
+    across blocks regardless of which years a block happens to hold."""
+    import pandas as pd
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+    cust_tbl = pa.concat_tables(
+        [b for b in cust.iter_batches(batch_format="pyarrow")],
+        promote_options="default",
+    )
+    nat_tbl = pa.concat_tables(
+        [b for b in nation.iter_batches(batch_format="pyarrow")],
+        promote_options="default",
+    )
+    dims = ray.put(
+        (
+            cust_tbl["c_custkey"].combine_chunks(),
+            cust_tbl["c_nationkey"].combine_chunks(),
+            nat_tbl["n_nationkey"].combine_chunks(),
+            nat_tbl["n_name"].combine_chunks(),
+        )
+    )
+    rev_cols = [f"rev_{y}" for y in PIVOT_YEARS]
+
+    def block_pivot(t: pa.Table) -> pa.Table:
+        ck, cn, nk, nn = ray.get(dims)
+        nkey = pc.take(cn, pc.index_in(t["o_custkey"], value_set=ck))
+        name = pc.take(nn, pc.index_in(nkey, value_set=nk))
+        cents = pc.cast(
+            pc.floor(
+                pc.add(
+                    pc.multiply(t["o_totalprice"], pa.scalar(100.0)),
+                    pa.scalar(0.5),
+                )
+            ),
+            pa.int64(),
+        )
+        df = pd.DataFrame(
+            {
+                "n_name": name.to_pandas(),
+                "year": pc.year(t["o_orderdate"]).to_numpy(),
+                "cents": cents.to_numpy(),
+            }
+        )
+        wide = df.pivot_table(
+            index="n_name", columns="year", values="cents",
+            aggfunc="sum", fill_value=0,
+        ).reindex(columns=list(PIVOT_YEARS), fill_value=0)
+        out = {"n_name": pa.array(wide.index.to_numpy(), pa.string())}
+        for y, c in zip(PIVOT_YEARS, rev_cols):
+            out[c] = pa.array(wide[y].to_numpy(dtype=np.int64), pa.int64())
+        return pa.table(out)
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice", "o_orderdate"])
+    agg = (
+        orders.map_batches(block_pivot, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(*[Sum(c, alias_name=c) for c in rev_cols])
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        out = {"n_name": t["n_name"]}
+        for c in rev_cols:
+            out[c] = pc.round(
+                pc.divide(pc.cast(t[c], pa.float64()), pa.scalar(100.0)),
+                ndigits=2,
+            )
+        return pa.table(out)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_PIVOT_REVENUE = (
+    "SELECT n_name,\n"
+    + ",\n".join(
+        f"  round(coalesce(sum(CASE WHEN year(o_orderdate) = {y} THEN"
+        f" CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) END), 0)"
+        f" / 100.0, 2) AS rev_{y}"
+        for y in PIVOT_YEARS
+    )
+    + "\nFROM orders o\n"
+    "JOIN customer c ON c.c_custkey = o.o_custkey\n"
+    "JOIN nation n ON n.n_nationkey = c.c_nationkey\n"
+    "GROUP BY n_name"
+)
+
+
+# -- stratified (balanced per-group) sampling ---------------------------------
+
+STRAT_SAMPLE_K = 20
+
+
+def q_stratified_sample(sf_dir: str):
+    """Balanced per-segment customer sample: exactly ≤ k rows per
+    mktsegment, selected by deterministic md5 rank — the
+    source-balancing step of a training-data mixture (sample each
+    stratum down to a common size without a seed file or an RNG whose
+    state a resume would have to replay).
+
+    Shape = grouped top-k (``q_grouped_topk``) with the hash as the
+    order key: each block first reduces to ≤ k rows per segment seen in
+    it (so the shuffle moves ≤ k·|segments|·blocks rows, never the full
+    table), then one ``groupby(segment)`` re-applies the same kernel.
+    The rank key is the first 8 bytes of ``md5(custkey)`` big-endian —
+    chosen so DuckDB can recompute it bit-for-bit
+    (``('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 16))::UBIGINT``)."""
+    import hashlib
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment", "c_acctbal"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        keys = t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hv = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.md5(str(int(k)).encode()).digest()[:8], "big"
+                )
+                for k in keys
+            ),
+            dtype=np.uint64,
+            count=len(keys),
+        )
+        return pa.table(
+            {
+                "c_custkey": pa.array(keys, pa.int64()),
+                "c_mktsegment": t["c_mktsegment"],
+                "c_acctbal": t["c_acctbal"],
+                "hv": pa.array(hv, pa.uint64()),
+            }
+        )
+
+    def keep_k(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("c_mktsegment", "ascending"),
+                ("hv", "ascending"),
+                ("c_custkey", "ascending"),
+            ],
+        )
+        t = t.take(idx)
+        seg = np.asarray(t["c_mktsegment"].to_pandas())
+        if len(seg) == 0:
+            return t
+        new = np.concatenate([[True], seg[1:] != seg[:-1]])
+        pos = np.arange(len(seg))
+        run_start = np.maximum.accumulate(np.where(new, pos, 0))
+        keep = (pos - run_start) < STRAT_SAMPLE_K
+        return t.take(pa.array(np.flatnonzero(keep), pa.int64()))
+
+    sampled = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .map_batches(keep_k, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .map_groups(keep_k, batch_format="pyarrow")
+    )
+    return sampled.drop_columns(["hv"])
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+SELECT c_custkey, c_mktsegment, c_acctbal
+FROM (
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           row_number() OVER (
+               PARTITION BY c_mktsegment
+               ORDER BY ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)),
+                                        1, 16))::UBIGINT,
+                        c_custkey) AS rn
+    FROM customer
+) WHERE rn <= {STRAT_SAMPLE_K}
+"""

@@ -616,3 +616,79 @@ GROUP BY word
 ORDER BY cnt DESC, word
 LIMIT {HH_TOP}
 """
+
+
+# -- corpus composition report (dataset-mix accounting) -----------------------
+
+
+def q_source_mix(sf_dir: str):
+    """Corpus composition per (source, lang): doc count, total chars,
+    and each cell's share of all docs — the mixture-accounting report a
+    training-data pipeline emits before sampling weights are chosen
+    (the input `q_mixture_sample`-style reweighting reads).
+
+    Plan: ``map_batches`` pre-aggregates each block to ≤ |sources ×
+    langs| partial rows (arrow ``group_by``), one tiny shuffle reduces
+    them, and the share denominator is the sum over that bounded-
+    cardinality table — never a second pass over the input.  All sums
+    are integers, so the reduce is order-independent; only the final
+    share division is float (rounded like the oracle)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["source", "lang", "n_chars"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "source": t["source"],
+                    "lang": t["lang"],
+                    "total_chars": pc.cast(t["n_chars"], pa.int64()),
+                    "n_docs": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                }
+            )
+            .group_by(["source", "lang"])
+            .aggregate([("total_chars", "sum"), ("n_docs", "sum")])
+        )
+        return g.rename_columns(["source", "lang", "total_chars", "n_docs"])
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "lang"])
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("total_chars", alias_name="total_chars"),
+        )
+        .to_pandas()  # bounded by the (source, lang) domain
+    )
+    total = int(cells["n_docs"].sum())
+    return pa.table(
+        {
+            "source": pa.array(cells["source"], pa.string()),
+            "lang": pa.array(cells["lang"], pa.string()),
+            "n_docs": pa.array(
+                cells["n_docs"].to_numpy(dtype="int64"), pa.int64()
+            ),
+            "total_chars": pa.array(
+                cells["total_chars"].to_numpy(dtype="int64"), pa.int64()
+            ),
+            "doc_share": pa.array(
+                (cells["n_docs"].to_numpy(dtype="int64") / total).round(6),
+                pa.float64(),
+            ),
+        }
+    )
+
+
+SQL_SOURCE_MIX = """
+SELECT source, lang,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       round(count(*) * 1.0 / (SELECT count(*) FROM documents), 6)
+           AS doc_share
+FROM documents
+GROUP BY source, lang
+"""

@@ -835,3 +835,74 @@ def test_bm25_monotone_in_term_count(tmp_path):
     out = _to_df(traindata.q_bm25_scores(str(tmp_path))).set_index("doc_id")
     assert out.loc[2, "bm25"] > out.loc[1, "bm25"]
     assert out.loc[2, "bm25"] > out.loc[3, "bm25"]
+
+
+# -- round-4 additions: rollup / pivot / stratified sample / mix / scrub ------
+
+
+def test_rollup_levels_are_consistent():
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines import relational
+
+    out = _to_df(relational.q_rollup_revenue(SF))
+    leaf = out[(out.l_returnflag != "ALL") & (out.l_linestatus != "ALL")]
+    lv1 = out[(out.l_returnflag != "ALL") & (out.l_linestatus == "ALL")]
+    total = out[(out.l_returnflag == "ALL") & (out.l_linestatus == "ALL")]
+    assert len(total) == 1
+    assert int(total.n_rows.iloc[0]) == int(leaf.n_rows.sum()) == int(lv1.n_rows.sum())
+    # cents-integer sums: levels agree exactly, not just approximately
+    assert abs(float(total.sum_revenue.iloc[0]) - float(leaf.sum_revenue.sum())) < 1e-6
+    for flag, g in leaf.groupby("l_returnflag"):
+        sub = lv1[lv1.l_returnflag == flag]
+        assert int(sub.n_rows.iloc[0]) == int(g.n_rows.sum())
+
+
+def test_pivot_wide_totals_match_orders(con):
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines import relational
+
+    out = _to_df(relational.q_pivot_revenue(SF))
+    rev_cols = [c for c in out.columns if c.startswith("rev_")]
+    assert len(rev_cols) == len(relational.PIVOT_YEARS)
+    got = float(out[rev_cols].to_numpy().sum())
+    want = con.execute(
+        "SELECT sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0 "
+        "FROM orders"
+    ).fetchone()[0]
+    assert abs(got - float(want)) < 1e-6
+    # every customer nation present exactly once
+    assert out.n_name.is_unique
+
+
+def test_stratified_sample_is_balanced_and_deterministic(con):
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines import relational
+
+    a = _to_df(relational.q_stratified_sample(SF))
+    sizes = con.execute(
+        "SELECT c_mktsegment, count(*) AS n FROM customer GROUP BY 1"
+    ).fetchdf().set_index("c_mktsegment")["n"]
+    per = a.groupby("c_mktsegment").size()
+    for seg, n in per.items():
+        assert n == min(relational.STRAT_SAMPLE_K, int(sizes[seg])), seg
+    b = _to_df(relational.q_stratified_sample(SF))
+    pd.testing.assert_frame_equal(
+        a.sort_values(["c_mktsegment", "c_custkey"]).reset_index(drop=True),
+        b.sort_values(["c_mktsegment", "c_custkey"]).reset_index(drop=True),
+    )
+
+
+def test_source_mix_shares_sum_to_one(con):
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines import textpipe
+
+    out = _to_df(textpipe.q_source_mix(SF))
+    n_docs = con.execute("SELECT count(*) FROM documents").fetchone()[0]
+    assert int(out.n_docs.sum()) == n_docs
+    assert abs(float(out.doc_share.sum()) - 1.0) < 1e-3  # rounding per cell
+
+
+def test_pii_scrub_removes_every_match():
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines import events as ev
+
+    out = _to_df(ev.q_pii_scrub(SF))
+    assert not out.scrubbed.str.contains(r"[0-9]").any()
+    # the synthetic props all carry a numeric payload
+    assert (out.n_hits >= 1).all()
+    assert out.scrubbed.str.contains("#").all()
