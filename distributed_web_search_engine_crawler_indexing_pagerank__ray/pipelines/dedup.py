@@ -1112,8 +1112,14 @@ def q_dedup_embedding_lsh(sf_dir: str):
 
     def sig(t: pa.Table) -> pa.Table:
         ids = t["vec_id"].to_numpy()
-        m = np.stack(
-            [np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()]
+        # vectorized list-column flatten (similarity._stack_embeddings
+        # shape) — no per-row to_pylist in the signature hot path
+        la = t["embedding"].combine_chunks()
+        m = (
+            la.flatten()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            .reshape(len(la), len(la[0]))
         )
         q = np.floor(m * float(EMB_QUANT) + 0.5).astype(np.int64)
         proj = q @ planes[:, : q.shape[1]].T  # (n, planes), exact int
@@ -1288,8 +1294,8 @@ def _verify_candidate_pairs_embedding(sf_dir: str, cand):
                     "cos": pa.array([], pa.float64()),
                 }
             )
-        va = np.stack([np.asarray(v, dtype=np.float64) for v in m["va"]])
-        vb = np.stack([np.asarray(v, dtype=np.float64) for v in m["vb"]])
+        va = np.stack(m["va"].to_numpy()).astype(np.float64)
+        vb = np.stack(m["vb"].to_numpy()).astype(np.float64)
         na = np.linalg.norm(va, axis=1)
         nb = np.linalg.norm(vb, axis=1)
         na[na == 0] = 1.0
