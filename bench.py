@@ -75,6 +75,31 @@ def _probe_rate(secs: float = 3.0, cores: int = 1) -> float:
     return sum(int(p.communicate()[0]) for p in procs) / secs
 
 
+def _wait_for_healthy_window() -> tuple[float, float]:
+    """Window-health canary BEFORE anything heavy: if the VM's burst
+    budget is depleted (either probe < 75% of its healthy rate), wait
+    in bounded recovery intervals and re-probe — then the caller
+    records whatever we got (annotated) rather than silently shipping
+    a depleted number.  Burst credits refill over minutes, so one
+    fixed wait often lands still-depleted; up to BENCH_PROBE_MAX_WAITS
+    intervals (total ≤ ~6 min by default) buys a much better shot at a
+    healthy window while staying bounded for unattended runs."""
+    probe = _probe_rate()
+    probe_mc = _probe_rate(cores=PROBE_MC_CORES)
+    if not os.environ.get("BENCH_NO_PROBE_WAIT"):
+        recovery = float(os.environ.get("BENCH_PROBE_RECOVERY_SECS", "120"))
+        for _ in range(int(os.environ.get("BENCH_PROBE_MAX_WAITS", "3"))):
+            if (
+                probe >= 0.75 * HEALTHY_PROBE_RATE
+                and probe_mc >= 0.75 * HEALTHY_PROBE_RATE_MC
+            ):
+                break
+            time.sleep(recovery)
+            probe = max(probe, _probe_rate())
+            probe_mc = max(probe_mc, _probe_rate(cores=PROBE_MC_CORES))
+    return probe, probe_mc
+
+
 QUERY_NAMES = [
     "groupby_fold",
     "filter_project",
@@ -137,19 +162,7 @@ QUERY_NAMES = [
 
 
 def run_bench() -> dict:
-    # window-health canary BEFORE anything heavy: if the VM's burst
-    # budget is depleted (< 75% of the healthy single-core rate), wait
-    # one recovery interval and re-probe — then record whatever we got
-    # (annotated) rather than silently shipping a depleted number
-    probe = _probe_rate()
-    probe_mc = _probe_rate(cores=PROBE_MC_CORES)
-    if (
-        probe < 0.75 * HEALTHY_PROBE_RATE
-        or probe_mc < 0.75 * HEALTHY_PROBE_RATE_MC
-    ) and not os.environ.get("BENCH_NO_PROBE_WAIT"):
-        time.sleep(float(os.environ.get("BENCH_PROBE_RECOVERY_SECS", "120")))
-        probe = max(probe, _probe_rate())
-        probe_mc = max(probe_mc, _probe_rate(cores=PROBE_MC_CORES))
+    probe, probe_mc = _wait_for_healthy_window()
 
     import ray
 

@@ -65,3 +65,40 @@ def test_healthy_constants_consistent(bench):
     lo = 8 * bench.HEALTHY_PROBE_RATE * 0.5
     hi = 8 * bench.HEALTHY_PROBE_RATE * 1.2
     assert lo < bench.HEALTHY_PROBE_RATE_MC < hi
+
+
+def test_wait_for_healthy_window_retries_until_healthy(bench, monkeypatch):
+    # depleted twice, then healthy: the loop must re-probe (bounded)
+    # and return the recovered rates without a real 120 s sleep
+    rates = iter(
+        [
+            0.1 * bench.HEALTHY_PROBE_RATE,      # initial 1-core: depleted
+            0.1 * bench.HEALTHY_PROBE_RATE_MC,   # initial 8-core: depleted
+            0.5 * bench.HEALTHY_PROBE_RATE,      # wait 1: still depleted
+            0.5 * bench.HEALTHY_PROBE_RATE_MC,
+            1.0 * bench.HEALTHY_PROBE_RATE,      # wait 2: healthy
+            1.0 * bench.HEALTHY_PROBE_RATE_MC,
+        ]
+    )
+    sleeps = []
+    monkeypatch.setattr(bench, "_probe_rate", lambda *a, **k: next(rates))
+    monkeypatch.setattr(bench.time, "sleep", lambda s: sleeps.append(s))
+    monkeypatch.delenv("BENCH_NO_PROBE_WAIT", raising=False)
+    probe, probe_mc = bench._wait_for_healthy_window()
+    assert len(sleeps) == 2  # stopped as soon as both probes recovered
+    assert probe >= 0.75 * bench.HEALTHY_PROBE_RATE
+    assert probe_mc >= 0.75 * bench.HEALTHY_PROBE_RATE_MC
+
+
+def test_wait_for_healthy_window_bounded_when_never_healthy(bench, monkeypatch):
+    monkeypatch.setattr(
+        bench, "_probe_rate",
+        lambda *a, cores=1, **k: 0.1
+        * (bench.HEALTHY_PROBE_RATE_MC if cores > 1 else bench.HEALTHY_PROBE_RATE),
+    )
+    sleeps = []
+    monkeypatch.setattr(bench.time, "sleep", lambda s: sleeps.append(s))
+    monkeypatch.delenv("BENCH_NO_PROBE_WAIT", raising=False)
+    probe, _ = bench._wait_for_healthy_window()
+    assert len(sleeps) == 3  # BENCH_PROBE_MAX_WAITS default — never unbounded
+    assert probe < 0.75 * bench.HEALTHY_PROBE_RATE  # recorded as depleted
