@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": relational.q_stratified_sample,
         "source_mix": textpipe.q_source_mix,
         "pii_scrub": events.q_pii_scrub,
+        "model_score": traindata.q_model_score,
         # rows-only from here: data-dependent (k-means) or exact
         # reference-semantics oracles run in tests/ instead of SQL
         "knn_ivf": similarity.q_knn_ivf,
@@ -194,4 +195,5 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": relational.SQL_STRATIFIED_SAMPLE,
         "source_mix": textpipe.SQL_SOURCE_MIX,
         "pii_scrub": events.SQL_PII_SCRUB,
+        "model_score": traindata.SQL_MODEL_SCORE,
     }

@@ -158,6 +158,7 @@ QUERY_NAMES = [
     "stratified_sample",
     "source_mix",
     "pii_scrub",
+    "model_score",
 ]
 
 

@@ -828,3 +828,99 @@ contrib AS (
 SELECT doc_id, dl, sum(ci) / {BM25_GRID}.0 AS bm25
 FROM contrib GROUP BY doc_id, dl
 """
+
+
+# -- batched model inference (actor-pool stage) -------------------------------
+
+MODEL_WEIGHT_MOD = 1000  # md5-derived per-word weight domain
+MODEL_SCORE_MICRO = 1_000_000  # fixed-point output scale
+
+
+class DocScorerModel:
+    """Actor-pool batched-inference stage — the pattern every
+    model-scoring pipeline stage in this engine follows: the "model"
+    is set up ONCE per actor in ``__init__`` (tokenizer + a weight
+    memo that persists and grows across batches, standing in for a
+    real classifier / reward model whose weights a real deployment
+    would load here), and ``__call__`` scores a whole Arrow batch
+    vectorized.  Passed as a CLASS to ``map_batches(...,
+    concurrency=N)`` so Ray builds an actor pool and amortizes the
+    setup (ray_guide "Stateful stages are actor pools").
+
+    The stand-in model is deterministic and ORACLE-RECOMPUTABLE: each
+    word's weight is ``md5(word) % 1000`` (first 8 bytes big-endian),
+    a doc's score is the integer fixed-point mean weight
+    ``(sum_w * 10^6) // (1000 * n_tokens)`` — all-integer, so the
+    distributed result is bit-equal to the SQL no matter the batch
+    split.  Swapping in a real model changes ``__init__``/`_weigh`
+    only; the Ray plumbing (schema, batching, actor signature) is
+    exactly what a real scorer uses."""
+
+    def __init__(self) -> None:
+        self._memo: dict[str, int] = {}
+
+    def _weigh(self, words: np.ndarray) -> np.ndarray:
+        memo = self._memo
+        out = np.empty(len(words), dtype=np.int64)
+        for i, w in enumerate(words):
+            v = memo.get(w)
+            if v is None:
+                v = memo[w] = int.from_bytes(
+                    hashlib.md5(w.encode()).digest()[:8], "big"
+                ) % MODEL_WEIGHT_MOD
+            out[i] = v
+        return out
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n_docs = t.num_rows
+        pn, toks = _flat_tokens(t)
+        sums = np.zeros(n_docs, dtype=np.int64)
+        counts = np.bincount(pn, minlength=n_docs).astype(np.int64)
+        if len(pn):
+            uniq, inv = np.unique(toks, return_inverse=True)
+            np.add.at(sums, pn, self._weigh(uniq)[inv])
+        score = np.zeros(n_docs, dtype=np.int64)
+        nz = counts > 0
+        score[nz] = (sums[nz] * MODEL_SCORE_MICRO) // (
+            MODEL_WEIGHT_MOD * counts[nz]
+        )
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "n_tokens": pa.array(counts, pa.int64()),
+                "score_micro": pa.array(score, pa.int64()),
+            }
+        )
+
+
+def q_model_score(sf_dir: str):
+    """Score every document with the actor-pool model stage — shuffle-
+    free, embarrassingly parallel; ``concurrency=2`` builds the actor
+    pool even on the 4-cpu test session, and per-stage ``batch_size``
+    bounds each inference call the way a real GPU/CPU scorer would."""
+    return _docs(sf_dir).map_batches(
+        DocScorerModel,
+        concurrency=2,
+        batch_size=2048,
+        batch_format="pyarrow",
+        max_restarts=0,  # stateless-idempotent stage; see textpipe note
+    )
+
+
+SQL_MODEL_SCORE = f"""
+WITH tok AS (
+    SELECT doc_id, unnest(l) AS word FROM ({_SQL_TOKLIST})
+),
+agg AS (
+    SELECT doc_id,
+           CAST(sum(('0x' || substr(md5(word), 1, 16))::UBIGINT
+                    % {MODEL_WEIGHT_MOD}) AS BIGINT) AS sw,
+           count(*) AS n
+    FROM tok GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.n, 0) AS n_tokens,
+       coalesce((a.sw * {MODEL_SCORE_MICRO})
+                // ({MODEL_WEIGHT_MOD} * a.n), 0) AS score_micro
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+"""

@@ -906,3 +906,41 @@ def test_pii_scrub_removes_every_match():
     # the synthetic props all carry a numeric payload
     assert (out.n_hits >= 1).all()
     assert out.scrubbed.str.contains("#").all()
+
+
+def test_model_score_batch_split_invariant_and_empty_docs():
+    import pyarrow as pa
+
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines.traindata import (
+        MODEL_SCORE_MICRO,
+        MODEL_WEIGHT_MOD,
+        DocScorerModel,
+        _raw_tokens,
+    )
+
+    docs = ["key agg row", "", "scan slow fast scan", "a b zz"]
+    t = pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                  "text": pa.array(docs)})
+    one = DocScorerModel()(t).to_pandas().set_index("doc_id")
+    # same rows scored one batch at a time through ONE actor instance:
+    # identical output (the weight memo persists and cannot drift)
+    scorer = DocScorerModel()
+    split = pd.concat(
+        [scorer(t.slice(i, 1)).to_pandas() for i in range(4)]
+    ).set_index("doc_id")
+    pd.testing.assert_frame_equal(one, split)
+    assert len(scorer._memo) > 0  # memo actually populated across calls
+    # empty doc → 0 tokens, score 0
+    assert one.loc[2, "n_tokens"] == 0 and one.loc[2, "score_micro"] == 0
+    # integer fixed-point mean vs an independent per-doc recompute
+    import hashlib
+
+    for did, text in zip([1, 3, 4], [docs[0], docs[2], docs[3]]):
+        toks = _raw_tokens(text)
+        sw = sum(
+            int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
+            % MODEL_WEIGHT_MOD
+            for w in toks
+        )
+        want = (sw * MODEL_SCORE_MICRO) // (MODEL_WEIGHT_MOD * len(toks))
+        assert one.loc[did, "score_micro"] == want, did
