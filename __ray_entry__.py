@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_mix": textpipe.q_source_mix,
         "pii_scrub": events.q_pii_scrub,
         "model_score": traindata.q_model_score,
+        "join_full": relational.q_join_full,
         # rows-only from here: data-dependent (k-means) or exact
         # reference-semantics oracles run in tests/ instead of SQL
         "knn_ivf": similarity.q_knn_ivf,
@@ -196,4 +197,5 @@ def oracle_sql() -> dict[str, str]:
         "source_mix": textpipe.SQL_SOURCE_MIX,
         "pii_scrub": events.SQL_PII_SCRUB,
         "model_score": traindata.SQL_MODEL_SCORE,
+        "join_full": relational.SQL_JOIN_FULL,
     }

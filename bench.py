@@ -159,6 +159,7 @@ QUERY_NAMES = [
     "source_mix",
     "pii_scrub",
     "model_score",
+    "join_full",
 ]
 
 

@@ -813,6 +813,126 @@ GROUP BY c.c_custkey
 """
 
 
+# -- full outer join (null-preserving on BOTH sides) ---------------------------
+
+FULL_JOIN_BAL = 5000.0  # high-balance threshold for the left side
+
+
+def q_join_full(sf_dir: str):
+    """High-balance customers FULL OUTER customers-with-orders — the
+    last join variant (`join_shuffle` inner / `join_left` / `anti_join`
+    bracket the others): unmatched rows survive on BOTH sides
+    (high-balance customers with no orders → 'left'; ordering customers
+    below the balance cut → 'right').  Nulls are coalesced to sentinels
+    (-1.0 / 0) and a ``side`` marker, so the output is null-free and
+    hashes stably.
+
+    Shape = ``q_join_left``: the balance filter is pushed into the
+    parquet read, orders pre-aggregate per block to (key, n) partials,
+    both sides co-bucket by ``key & (B-1)`` into ONE
+    ``groupby(bucket)``, and each group outer-merges — a key lives
+    wholly in its bucket, so per-bucket outer semantics are exact and
+    no second shuffle is needed.  B is size-derived (bounded per-group
+    memory, input-proportional parallelism)."""
+    import pandas as pd
+    import pyarrow.dataset as pads
+
+    B = bucket_count(
+        parquet_rows(f"{sf_dir}/customer.parquet", f"{sf_dir}/orders.parquet")
+    )
+    hb = read_parquet_clean(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_acctbal"],
+        filter=pads.field("c_acctbal") > FULL_JOIN_BAL,
+    )
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+
+    def tag_cust(t: pa.Table) -> pa.Table:
+        keys = pc.cast(t["c_custkey"], pa.int64())
+        return pa.table(
+            {
+                "bucket": pc.cast(
+                    pc.bit_wise_and(keys, pa.scalar(B - 1)), pa.int32()
+                ),
+                "key": keys,
+                "side": pa.array(["c"] * t.num_rows, pa.string()),
+                "acctbal": pc.cast(t["c_acctbal"], pa.float64()),
+                "n": pa.nulls(t.num_rows, pa.int64()),
+            }
+        )
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        # per-block partial: one (key, n) row per custkey in the block
+        part = (
+            pa.table(
+                {
+                    "key": pc.cast(t["o_custkey"], pa.int64()),
+                    "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                }
+            )
+            .group_by("key")
+            .aggregate([("n", "sum")])
+        )
+        keys = part["key"]
+        return pa.table(
+            {
+                "bucket": pc.cast(
+                    pc.bit_wise_and(keys, pa.scalar(B - 1)), pa.int32()
+                ),
+                "key": keys,
+                "side": pa.array(["o"] * part.num_rows, pa.string()),
+                "acctbal": pa.nulls(part.num_rows, pa.float64()),
+                "n": part["n_sum"],
+            }
+        )
+
+    tagged = hb.map_batches(tag_cust, batch_format="pyarrow").union(
+        orders.map_batches(tag_orders, batch_format="pyarrow")
+    )
+
+    def join_bucket(g: pd.DataFrame) -> pa.Table:
+        left = g.loc[g["side"] == "c", ["key", "acctbal"]]
+        right = (
+            g.loc[g["side"] == "o", ["key", "n"]]
+            .groupby("key", as_index=False)["n"]
+            .sum()
+        )
+        m = left.merge(right, on="key", how="outer", indicator=True)
+        side = m["_merge"].map(
+            {"both": "both", "left_only": "left", "right_only": "right"}
+        )
+        return pa.table(
+            {
+                "c_custkey": pa.array(m["key"].to_numpy(dtype=np.int64)),
+                "acctbal": pa.array(
+                    m["acctbal"].fillna(-1.0).to_numpy(dtype=np.float64)
+                ),
+                "n_orders": pa.array(
+                    m["n"].fillna(0).to_numpy(dtype=np.int64)
+                ),
+                "side": pa.array(side.astype(str).to_numpy(), pa.string()),
+            }
+        )
+
+    return tagged.groupby("bucket").map_groups(join_bucket, batch_format="pandas")
+
+
+SQL_JOIN_FULL = f"""
+WITH hb AS (
+    SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > {FULL_JOIN_BAL}
+),
+o AS (
+    SELECT o_custkey AS key, count(*) AS n_orders FROM orders GROUP BY 1
+)
+SELECT coalesce(hb.c_custkey, o.key) AS c_custkey,
+       coalesce(hb.c_acctbal, -1.0) AS acctbal,
+       coalesce(o.n_orders, 0) AS n_orders,
+       CASE WHEN hb.c_custkey IS NULL THEN 'right'
+            WHEN o.key IS NULL THEN 'left' ELSE 'both' END AS side
+FROM hb FULL JOIN o ON o.key = hb.c_custkey
+"""
+
+
 # -- global rank via range-partitioned prefix scan ----------------------------
 
 RANK_BUCKET_CHARS = 256  # n_chars per range-partition bucket

@@ -944,3 +944,42 @@ def test_model_score_batch_split_invariant_and_empty_docs():
         )
         want = (sw * MODEL_SCORE_MICRO) // (MODEL_WEIGHT_MOD * len(toks))
         assert one.loc[did, "score_micro"] == want, did
+
+
+def test_join_full_preserves_unmatched_on_both_sides(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines import relational
+
+    # customer 1: high balance, HAS orders   -> 'both'
+    # customer 2: high balance, NO orders    -> 'left' (sentinel n=0)
+    # customer 3: low balance, HAS orders    -> 'right' (sentinel bal=-1)
+    # customer 4: low balance, no orders     -> absent entirely
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+                "c_acctbal": pa.array([9000.0, 8000.0, 100.0, 50.0]),
+            }
+        ),
+        str(tmp_path / "customer.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_custkey": pa.array([1, 1, 3], pa.int64()),
+                "o_totalprice": pa.array([10.0, 20.0, 30.0]),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    out = (
+        _to_df(relational.q_join_full(str(tmp_path)))
+        .sort_values("c_custkey")
+        .reset_index(drop=True)
+    )
+    assert out.c_custkey.tolist() == [1, 2, 3]
+    assert out.side.tolist() == ["both", "left", "right"]
+    assert out.n_orders.tolist() == [2, 0, 1]
+    assert out.acctbal.tolist() == [9000.0, 8000.0, -1.0]
