@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": events.q_pii_scrub,
         "model_score": traindata.q_model_score,
         "join_full": relational.q_join_full,
+        "event_deltas": events.q_event_deltas,
         # rows-only from here: data-dependent (k-means) or exact
         # reference-semantics oracles run in tests/ instead of SQL
         "knn_ivf": similarity.q_knn_ivf,
@@ -198,4 +199,5 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": events.SQL_PII_SCRUB,
         "model_score": traindata.SQL_MODEL_SCORE,
         "join_full": relational.SQL_JOIN_FULL,
+        "event_deltas": events.SQL_EVENT_DELTAS,
     }

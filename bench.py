@@ -160,6 +160,7 @@ QUERY_NAMES = [
     "pii_scrub",
     "model_score",
     "join_full",
+    "event_deltas",
 ]
 
 

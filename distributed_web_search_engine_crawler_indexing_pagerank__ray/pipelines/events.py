@@ -911,3 +911,104 @@ SELECT event_id,
        len(regexp_extract_all(props, '{PII_PATTERN}')) AS n_hits
 FROM events
 """
+
+
+# -- per-key lag / inter-event deltas (ordered window, one shuffle) -----------
+
+
+def q_event_deltas(sf_dir: str):
+    """Per-user inter-event time gaps — the ``lag()`` window shape:
+    gap = ts − previous ts within the user's (ts, event_id)-ordered
+    run, reported as per-user count / max / floor-mean in integer
+    microseconds.  Users with a single event have no gap and are
+    absent, like the SQL.
+
+    Shape = ``q_moving_average``: bucket users by ``user_id & (B-1)``,
+    ONE ``groupby(bucket)`` shuffle, then one vectorized kernel per
+    bucket — sort by (user, ts, id), diff adjacent timestamps, mask out
+    run boundaries, and reduce per run with ``np.add/maximum.reduceat``
+    (no per-user Python loop).  All-integer microsecond arithmetic ⇒
+    hash-exact vs the SQL window-function oracle at any batch split.
+
+    Scale posture: NB size-derived ⇒ bounded per-group memory,
+    input-proportional parallelism; no salting — a user's ordered run
+    must stay intact (a hot user sub-partitions by time range carrying
+    one boundary row, as in q_moving_average)."""
+    NB = bucket_count(parquet_rows(f"{sf_dir}/events.parquet"))
+    ev = _events(sf_dir, ["user_id", "ts", "event_id"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        k = pc.cast(t["user_id"], pa.int64())
+        return pa.table(
+            {
+                "bucket": pc.cast(
+                    pc.bit_wise_and(k, pa.scalar(NB - 1)), pa.int32()
+                ),
+                "user_id": k,
+                "ts_us": pc.cast(t["ts"], pa.int64()),  # epoch micros
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+            }
+        )
+
+    def deltas_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy(dtype=np.int64)
+        ts = g["ts_us"].to_numpy(dtype=np.int64)
+        n = len(g)
+        if n < 2:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype="int64"),
+                    "n_gaps": pd.Series(dtype="int64"),
+                    "max_gap_us": pd.Series(dtype="int64"),
+                    "mean_gap_us": pd.Series(dtype="int64"),
+                }
+            )
+        same = u[1:] == u[:-1]
+        gaps = (ts[1:] - ts[:-1])[same]
+        gu = u[1:][same]
+        if len(gu) == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype="int64"),
+                    "n_gaps": pd.Series(dtype="int64"),
+                    "max_gap_us": pd.Series(dtype="int64"),
+                    "mean_gap_us": pd.Series(dtype="int64"),
+                }
+            )
+        starts = np.flatnonzero(
+            np.concatenate([[True], gu[1:] != gu[:-1]])
+        )
+        counts = np.diff(np.concatenate([starts, [len(gu)]]))
+        sums = np.add.reduceat(gaps, starts)
+        maxs = np.maximum.reduceat(gaps, starts)
+        return pd.DataFrame(
+            {
+                "user_id": gu[starts],
+                "n_gaps": counts.astype(np.int64),
+                "max_gap_us": maxs.astype(np.int64),
+                "mean_gap_us": (sums // counts).astype(np.int64),
+            }
+        )
+
+    return (
+        ev.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(deltas_bucket, batch_format="pandas")
+    )
+
+
+SQL_EVENT_DELTAS = """
+WITH d AS (
+    SELECT user_id,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+    FROM events
+)
+SELECT user_id,
+       count(*) AS n_gaps,
+       CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+       CAST(sum(gap_us) AS BIGINT) // count(*) AS mean_gap_us
+FROM d WHERE gap_us IS NOT NULL
+GROUP BY user_id
+"""

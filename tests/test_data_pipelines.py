@@ -983,3 +983,42 @@ def test_join_full_preserves_unmatched_on_both_sides(tmp_path):
     assert out.side.tolist() == ["both", "left", "right"]
     assert out.n_orders.tolist() == [2, 0, 1]
     assert out.acctbal.tolist() == [9000.0, 8000.0, -1.0]
+
+
+def test_event_deltas_lag_semantics(tmp_path):
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines import events as ev
+
+    t0 = datetime.datetime(2024, 1, 1)
+    us = lambda s: t0 + datetime.timedelta(microseconds=s)
+    # user 1: gaps 10, 30 us; user 2: single event (no gap -> absent);
+    # user 3: tied timestamps ordered by event_id -> gap 0 then 5
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2, 3, 10, 20, 21, 22], pa.int64()),
+                "ts": pa.array(
+                    [us(0), us(10), us(40), us(0), us(7), us(7), us(12)],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([1, 1, 1, 2, 3, 3, 3], pa.int64()),
+                "event_type": pa.array(["x"] * 7),
+                "value": pa.array([0.0] * 7),
+                "props": pa.array(["{}"] * 7),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    out = (
+        _to_df(ev.q_event_deltas(str(tmp_path)))
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert out.user_id.tolist() == [1, 3]  # single-event user 2 absent
+    assert out.n_gaps.tolist() == [2, 2]
+    assert out.max_gap_us.tolist() == [30, 5]
+    assert out.mean_gap_us.tolist() == [20, 2]  # (10+30)//2, (0+5)//2
