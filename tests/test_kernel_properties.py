@@ -310,3 +310,39 @@ def test_topk_per_group_matches_bruteforce(rows):
     else:
         want = got
     pd.testing.assert_frame_equal(got, want)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    docs=st.lists(
+        st.text(alphabet="abcdefg XY1.,'", max_size=60),
+        min_size=1,
+        max_size=12,
+    ),
+    split=st.integers(min_value=1, max_value=11),
+)
+def test_doc_scorer_batch_split_invariant(docs, split):
+    """model_score's actor kernel is pure per batch: scoring all docs in
+    one call equals scoring any prefix/suffix split through one actor
+    instance (the memo must not change results, only speed)."""
+    import pyarrow as pa
+
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines.traindata import (
+        DocScorerModel,
+    )
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(docs, pa.string()),
+        }
+    )
+    whole = DocScorerModel()(t).to_pandas()
+    k = min(split, len(docs))
+    scorer = DocScorerModel()
+    a = scorer(t.slice(0, k)).to_pandas()
+    b = scorer(t.slice(k)).to_pandas()
+    import pandas as pd
+
+    joined = pd.concat([a, b], ignore_index=True)
+    pd.testing.assert_frame_equal(whole, joined)
