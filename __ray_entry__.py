@@ -123,6 +123,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "model_score": traindata.q_model_score,
         "join_full": relational.q_join_full,
         "event_deltas": events.q_event_deltas,
+        "join_semi": relational.q_join_semi,
+        "except_parts": relational.q_except_parts,
+        "histogram_prices": relational.q_histogram_prices,
+        "monthly_orders": relational.q_monthly_orders,
+        "grouped_moments": relational.q_grouped_moments,
+        "funnel_conversion": events.q_funnel_conversion,
+        "zscore_outliers": events.q_zscore_outliers,
+        "props_extract": events.q_props_extract,
+        "bigram_counts": textpipe.q_bigram_counts,
+        "embedding_norms": similarity.q_embedding_norms,
         # rows-only from here: data-dependent (k-means) or exact
         # reference-semantics oracles run in tests/ instead of SQL
         "knn_ivf": similarity.q_knn_ivf,
@@ -200,4 +210,14 @@ def oracle_sql() -> dict[str, str]:
         "model_score": traindata.SQL_MODEL_SCORE,
         "join_full": relational.SQL_JOIN_FULL,
         "event_deltas": events.SQL_EVENT_DELTAS,
+        "join_semi": relational.SQL_JOIN_SEMI,
+        "except_parts": relational.SQL_EXCEPT_PARTS,
+        "histogram_prices": relational.SQL_HISTOGRAM_PRICES,
+        "monthly_orders": relational.SQL_MONTHLY_ORDERS,
+        "grouped_moments": relational.SQL_GROUPED_MOMENTS,
+        "funnel_conversion": events.SQL_FUNNEL_CONVERSION,
+        "zscore_outliers": events.SQL_ZSCORE_OUTLIERS,
+        "props_extract": events.SQL_PROPS_EXTRACT,
+        "bigram_counts": textpipe.SQL_BIGRAM_COUNTS,
+        "embedding_norms": similarity.sql_embedding_norms(),
     }

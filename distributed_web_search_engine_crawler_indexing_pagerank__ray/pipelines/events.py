@@ -1012,3 +1012,261 @@ SELECT user_id,
 FROM d WHERE gap_us IS NOT NULL
 GROUP BY user_id
 """
+
+
+# -- conversion funnel (conditional per-key first-touch aggregate) -------------
+
+FUNNEL_FROM = "view"
+FUNNEL_TO = "purchase"
+_TS_SENTINEL = np.iinfo(np.int64).max
+
+
+def q_funnel_conversion(sf_dir: str):
+    """Two-step conversion funnel: per user, the first ``view`` and the
+    first ``purchase`` timestamp, and whether the user converted
+    (first view strictly before first purchase) — the classic
+    product-analytics funnel expressed as a conditional first-touch
+    aggregate.
+
+    Shape: the two event types are filtered at the parquet read; each
+    block reduces to ≤ one (user, first_view, first_purchase) partial
+    row per user via an arrow ``group_by`` min (sentinel INT64_MAX for
+    the missing type — min-combinable), so the shuffle moves per-user
+    partials, not events.  Users then co-bucket by ``user_id & (B-1)``
+    into one size-derived ``groupby(bucket)`` and a vectorized kernel
+    (``np.minimum.reduceat`` per column) finishes the min-merge — no
+    per-user Python call.  Missing steps surface as -1 sentinels so the
+    output is null-free and hashes stably."""
+    import pyarrow.dataset as pads
+
+    NB = bucket_count(parquet_rows(f"{sf_dir}/events.parquet"))
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type"],
+        filter=pads.field("event_type").isin([FUNNEL_FROM, FUNNEL_TO]),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = pc.cast(t["user_id"], pa.int64())
+        ts = pc.cast(t["ts"], pa.int64())  # epoch micros
+        is_from = pc.equal(t["event_type"], FUNNEL_FROM)
+        sent = pa.scalar(int(_TS_SENTINEL), pa.int64())
+        part = (
+            pa.table(
+                {
+                    "user_id": u,
+                    "v": pc.if_else(is_from, ts, sent),
+                    "p": pc.if_else(is_from, sent, ts),
+                }
+            )
+            .group_by("user_id")
+            .aggregate([("v", "min"), ("p", "min")])
+        )
+        k = part["user_id"]
+        return pa.table(
+            {
+                "bucket": pc.cast(
+                    pc.bit_wise_and(k, pa.scalar(NB - 1)), pa.int32()
+                ),
+                "user_id": k,
+                "v": part["v_min"],
+                "p": part["p_min"],
+            }
+        )
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("user_id", kind="mergesort")
+        u = g["user_id"].to_numpy(dtype=np.int64)
+        starts = np.flatnonzero(np.concatenate([[True], u[1:] != u[:-1]]))
+        v = np.minimum.reduceat(g["v"].to_numpy(dtype=np.int64), starts)
+        p = np.minimum.reduceat(g["p"].to_numpy(dtype=np.int64), starts)
+        has_v, has_p = v != _TS_SENTINEL, p != _TS_SENTINEL
+        return pd.DataFrame(
+            {
+                "user_id": u[starts],
+                "first_view_us": np.where(has_v, v, -1),
+                "first_purchase_us": np.where(has_p, p, -1),
+                "converted": (has_v & has_p & (v < p)).astype(np.int64),
+            }
+        )
+
+    return (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(merge_bucket, batch_format="pandas")
+    )
+
+
+SQL_FUNNEL_CONVERSION = f"""
+WITH f AS (
+    SELECT user_id,
+           min(CASE WHEN event_type = '{FUNNEL_FROM}' THEN epoch_us(ts) END) AS v,
+           min(CASE WHEN event_type = '{FUNNEL_TO}' THEN epoch_us(ts) END) AS p
+    FROM events
+    WHERE event_type IN ('{FUNNEL_FROM}', '{FUNNEL_TO}')
+    GROUP BY user_id
+)
+SELECT user_id,
+       CAST(coalesce(v, -1) AS BIGINT) AS first_view_us,
+       CAST(coalesce(p, -1) AS BIGINT) AS first_purchase_us,
+       CAST(CASE WHEN v IS NOT NULL AND p IS NOT NULL AND v < p
+            THEN 1 ELSE 0 END AS BIGINT) AS converted
+FROM f
+"""
+
+
+# -- z-score outliers (two-pass: tiny broadcast stats, then a scan) ------------
+
+ZSCORE_CUT = 2.0
+
+
+def q_zscore_outliers(sf_dir: str):
+    """Events whose value is more than ``ZSCORE_CUT`` standard
+    deviations from their event_type's mean — the standard
+    quality-filter/outlier pass of a training-data pipeline, shaped as
+    the canonical TWO-PASS broadcast plan: pass 1 reduces the stream to
+    |event_types| exact integer moment rows (per-block arrow partials →
+    one tiny driver combine), the driver derives (mean, std) per type
+    from those moments and ``ray.put``s the lookup ONCE, pass 2 is an
+    embarrassingly-parallel scan that z-scores each row against the
+    broadcast and keeps the tail.
+
+    Hash-exactness: values carry exactly 2 decimals, so the moments are
+    summed in integer cents (exact at any block split / reduce order);
+    mean/std/z then apply the identical IEEE double formula on both the
+    Ray and SQL side, making even the |z| > cut boundary deterministic."""
+    ev = _events(sf_dir, ["event_id", "event_type", "value"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        part = (
+            pa.table(
+                {
+                    "event_type": t["event_type"],
+                    "n": pa.array(np.ones(t.num_rows, np.int64)),
+                    "sc": c,
+                    "sq": pc.multiply(c, c),
+                }
+            )
+            .group_by("event_type")
+            .aggregate([("n", "sum"), ("sc", "sum"), ("sq", "sum")])
+        )
+        return part.rename_columns(["event_type", "n", "sc", "sq"])
+
+    parts = ev.map_batches(moments, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("event_type", as_index=False).sum()
+    stats: dict[str, tuple[float, float]] = {}
+    for _, r in agg.iterrows():
+        n, sc, sq = int(r["n"]), int(r["sc"]), int(r["sq"])
+        if n < 2:
+            continue
+        mean = sc / n
+        var = (sq - mean * sc) / (n - 1)
+        stats[str(r["event_type"])] = (mean, math.sqrt(var))
+    stats_ref = ray.put(stats)
+
+    class Score:
+        def __init__(self):
+            self.stats = ray.get(stats_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            et = t["event_type"].to_numpy(zero_copy_only=False)
+            c = np.rint(t["value"].to_numpy(zero_copy_only=False) * 100.0)
+            mean = np.array([m for m, _ in self.stats.values()])
+            std = np.array([s for _, s in self.stats.values()])
+            ei = pd.Index(list(self.stats)).get_indexer(et)  # vectorized
+            z = (c - mean[ei]) / std[ei]
+            keep = np.abs(z) > ZSCORE_CUT
+            return pa.table(
+                {
+                    "event_id": pc.cast(t["event_id"], pa.int64()).filter(
+                        pa.array(keep)
+                    ),
+                    "event_type": t["event_type"].filter(pa.array(keep)),
+                    "value": t["value"].filter(pa.array(keep)),
+                    "z": pa.array(np.round(z[keep], 6), pa.float64()),
+                }
+            )
+
+    return ev.map_batches(Score, batch_format="pyarrow", concurrency=2)
+
+
+SQL_ZSCORE_OUTLIERS = f"""
+WITH s AS (
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sc,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)
+                    * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sq
+    FROM events GROUP BY event_type
+),
+z AS (
+    SELECT e.event_id, e.event_type, e.value,
+           (CAST(round(e.value * 100) AS BIGINT) - s.sc / s.n)
+           / sqrt((s.sq - (s.sc / s.n) * s.sc) / (s.n - 1)) AS z
+    FROM events e JOIN s USING (event_type)
+    WHERE s.n >= 2
+)
+SELECT event_id, event_type, value, round(z, 6) AS z
+FROM z WHERE abs(z) > {ZSCORE_CUT}
+"""
+
+
+# -- semi-structured extraction (regex parse + grouped reduce) -----------------
+
+
+def q_props_extract(sf_dir: str):
+    """Parse the numeric payload out of the semi-structured ``props``
+    JSON-ish string and aggregate it per event_type — the
+    log-field-extraction stage every event pipeline runs before
+    analytics.
+
+    Shape: one ``map_batches`` with pyarrow's RE2 ``extract_regex``
+    (vectorized, no per-row Python), pre-aggregated per block to
+    ≤ |event_types| partial rows, then a tiny final ``groupby``
+    map_groups — the extraction never shuffles row-level data."""
+    ev = _events(sf_dir, ["event_type", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(t["props"], pattern=r"(?P<k>[0-9]+)")
+        k = pc.cast(pc.struct_field(ex, "k"), pa.int64())
+        return (
+            pa.table(
+                {
+                    "event_type": t["event_type"],
+                    "n": pa.array(np.ones(t.num_rows, np.int64)),
+                    "sum_k": k,
+                    "max_k": k,
+                }
+            )
+            .group_by("event_type")
+            .aggregate([("n", "sum"), ("sum_k", "sum"), ("max_k", "max")])
+            .rename_columns(["event_type", "n", "sum_k", "max_k"])
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "n": [np.int64(g["n"].sum())],
+                "sum_k": [np.int64(g["sum_k"].sum())],
+                "max_k": [np.int64(g["max_k"].max())],
+            }
+        )
+
+    return (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+SQL_PROPS_EXTRACT = """
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS BIGINT)
+           AS sum_k,
+       CAST(max(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS BIGINT)
+           AS max_k
+FROM events GROUP BY event_type
+"""

@@ -1286,3 +1286,370 @@ FROM (
     FROM customer
 ) WHERE rn <= {STRAT_SAMPLE_K}
 """
+
+
+# -- semi join (broadcast ids-only small side) --------------------------------
+
+SEMI_BAL = 8000.0  # high-balance cut defining the small side
+
+
+def q_join_semi(sf_dir: str):
+    """Orders placed by high-balance customers — the SEMI JOIN verb
+    (``WHERE key IN (small side)``), completing the join family
+    (inner `join_shuffle`, `join_left`, `join_full`, anti `anti_join`).
+
+    Shape: the canonical BROADCAST semi join — the build side is
+    filtered AT THE PARQUET READ to its ids only (one int64 column),
+    pulled once, ``ray.put`` once, and every probe task filters its
+    block with a vectorized ``pc.is_in`` against the shared set; the
+    probe side never shuffles.  Scale posture: the build side must fit
+    in one object-store value (ids only — ~8 bytes/row, so ~10^8 keys
+    per GB); past that, flip to the bucketed co-partition shape
+    `q_anti_join` uses (same tagged-union kernel, B size-derived)."""
+    import pyarrow.dataset as pads
+
+    hb = read_parquet_clean(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_acctbal"],  # filter col must be projected
+        filter=pads.field("c_acctbal") > SEMI_BAL,
+    )
+    keys = np.unique(
+        np.concatenate(
+            [b["c_custkey"].to_numpy(zero_copy_only=False)
+             for b in hb.iter_batches(batch_format="pyarrow")]
+            or [np.empty(0, np.int64)]
+        )
+    )
+    keys_ref = ray.put(keys)
+
+    class Probe:
+        def __init__(self):
+            self.value_set = pa.array(ray.get(keys_ref), pa.int64())
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keep = pc.is_in(pc.cast(t["o_custkey"], pa.int64()),
+                            value_set=self.value_set)
+            t = t.filter(keep)
+            return pa.table(
+                {
+                    "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                    "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+                    "o_totalprice": t["o_totalprice"],
+                }
+            )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    return orders.map_batches(Probe, batch_format="pyarrow", concurrency=2)
+
+
+SQL_JOIN_SEMI = f"""
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+WHERE o_custkey IN
+      (SELECT c_custkey FROM customer WHERE c_acctbal > {SEMI_BAL})
+"""
+
+
+# -- set difference (EXCEPT over derived distinct sets) ------------------------
+
+EXCEPT_LATE = "2001-01-01"   # parts sold on/after this ...
+EXCEPT_EARLY = "1996-01-01"  # ... that were never sold before this
+
+
+def q_except_parts(sf_dir: str):
+    """Parts first sold late: DISTINCT partkeys shipped on/after
+    ``EXCEPT_LATE`` minus partkeys shipped before ``EXCEPT_EARLY`` —
+    the EXCEPT set verb (`distinct`/`intersection` cover the other set
+    ops).
+
+    Shape: ONE pass over lineitem with the two date windows pushed into
+    the parquet read (`(ship >= late) OR (ship < early)`; the years
+    between never leave storage); each block reduces to ≤ one
+    (partkey, inA, inB) membership partial per key via an arrow
+    ``group_by`` max, keys co-bucket by ``key & (B-1)`` into a
+    size-derived ``groupby(bucket)``, and a vectorized kernel
+    (``np.maximum.reduceat``) merges memberships and keeps
+    ``inA & ~inB`` — set semantics without ever shuffling row-level
+    data."""
+    import datetime
+
+    import pandas as pd
+    import pyarrow.dataset as pads
+
+    late = datetime.datetime.fromisoformat(EXCEPT_LATE)
+    early = datetime.datetime.fromisoformat(EXCEPT_EARLY)
+    B = bucket_count(parquet_rows(f"{sf_dir}/lineitem.parquet"))
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_shipdate"],
+        filter=(pads.field("l_shipdate") >= late)
+        | (pads.field("l_shipdate") < early),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        in_a = pc.greater_equal(
+            t["l_shipdate"], pa.scalar(late, pa.timestamp("us"))
+        )
+        part = (
+            pa.table(
+                {
+                    "key": pc.cast(t["l_partkey"], pa.int64()),
+                    "in_a": pc.cast(in_a, pa.int8()),
+                    "in_b": pc.cast(pc.invert(in_a), pa.int8()),
+                }
+            )
+            .group_by("key")
+            .aggregate([("in_a", "max"), ("in_b", "max")])
+        )
+        return pa.table(
+            {
+                "bucket": pc.cast(
+                    pc.bit_wise_and(part["key"], pa.scalar(B - 1)), pa.int32()
+                ),
+                "key": part["key"],
+                "in_a": part["in_a_max"],
+                "in_b": part["in_b_max"],
+            }
+        )
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("key", kind="mergesort")
+        k = g["key"].to_numpy(dtype=np.int64)
+        starts = np.flatnonzero(np.concatenate([[True], k[1:] != k[:-1]]))
+        in_a = np.maximum.reduceat(g["in_a"].to_numpy(np.int8), starts)
+        in_b = np.maximum.reduceat(g["in_b"].to_numpy(np.int8), starts)
+        keep = (in_a == 1) & (in_b == 0)
+        return pd.DataFrame({"partkey": k[starts][keep]})
+
+    return (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(merge_bucket, batch_format="pandas")
+    )
+
+
+SQL_EXCEPT_PARTS = f"""
+SELECT partkey FROM (
+    SELECT DISTINCT l_partkey AS partkey FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{EXCEPT_LATE}'
+    EXCEPT
+    SELECT DISTINCT l_partkey FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '{EXCEPT_EARLY}'
+)
+"""
+
+
+# -- fixed-bin histogram (computed-key groupby with block partials) ------------
+
+HIST_BIN_WIDTH = 25000.0  # o_totalprice per bin (~20 bins over the range)
+
+
+def q_histogram_prices(sf_dir: str):
+    """Order-value histogram: orders binned by
+    ``floor(o_totalprice / 25000)`` with count / integer-cents sum /
+    min / max per bin — the distribution-profiling pass run before
+    picking quality-filter thresholds.
+
+    Shape: the bin key is computed vectorized in the scan, each block
+    pre-aggregates to ≤ |bins| partial rows (count/sum combine
+    additively, min/max idempotently), and the final combine groups
+    ~20 partials — the histogram never shuffles row-level data, the
+    exact partial-aggregate discipline every profiling sweep at 100 TB
+    needs.  Bin boundaries are IEEE-deterministic: both sides compute
+    ``floor(x / width)`` on the same doubles."""
+    import pandas as pd
+
+    orders = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tp = t["o_totalprice"]
+        return (
+            pa.table(
+                {
+                    "bin": pc.cast(
+                        pc.floor(pc.divide(tp, HIST_BIN_WIDTH)), pa.int64()
+                    ),
+                    "n": pa.array(np.ones(t.num_rows, np.int64)),
+                    "sum_cents": pc.cast(
+                        pc.round(pc.multiply(tp, 100.0)), pa.int64()
+                    ),
+                    "min_price": tp,
+                    "max_price": tp,
+                }
+            )
+            .group_by("bin")
+            .aggregate(
+                [("n", "sum"), ("sum_cents", "sum"),
+                 ("min_price", "min"), ("max_price", "max")]
+            )
+            .rename_columns(["bin", "n", "sum_cents", "min_price", "max_price"])
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "bin": [np.int64(g["bin"].iloc[0])],
+                "n": [np.int64(g["n"].sum())],
+                "sum_cents": [np.int64(g["sum_cents"].sum())],
+                "min_price": [g["min_price"].min()],
+                "max_price": [g["max_price"].max()],
+            }
+        )
+
+    return (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("bin")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+SQL_HISTOGRAM_PRICES = f"""
+SELECT CAST(floor(o_totalprice / {HIST_BIN_WIDTH}) AS BIGINT) AS bin,
+       count(*) AS n,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_cents,
+       min(o_totalprice) AS min_price,
+       max(o_totalprice) AS max_price
+FROM orders GROUP BY 1
+"""
+
+
+# -- calendar rollup (time-truncated groupby with block partials) --------------
+
+
+def q_monthly_orders(sf_dir: str):
+    """Orders per calendar month with integer-cents revenue — the
+    time-series resample every monitoring/reporting pipeline runs.
+
+    Shape: the month key is a vectorized ``strftime`` in the scan,
+    blocks pre-aggregate to ≤ |months| partials, and the final combine
+    touches only (months × blocks) rows — same discipline as
+    `q_histogram_prices`, keyed by calendar bucket instead of value
+    range."""
+    import pandas as pd
+
+    orders = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            pa.table(
+                {
+                    "ym": pc.strftime(t["o_orderdate"], format="%Y-%m"),
+                    "n_orders": pa.array(np.ones(t.num_rows, np.int64)),
+                    "revenue_cents": pc.cast(
+                        pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                        pa.int64(),
+                    ),
+                }
+            )
+            .group_by("ym")
+            .aggregate([("n_orders", "sum"), ("revenue_cents", "sum")])
+            .rename_columns(["ym", "n_orders", "revenue_cents"])
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "ym": [g["ym"].iloc[0]],
+                "n_orders": [np.int64(g["n_orders"].sum())],
+                "revenue_cents": [np.int64(g["revenue_cents"].sum())],
+            }
+        )
+
+    return (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("ym")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+SQL_MONTHLY_ORDERS = """
+SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+FROM orders GROUP BY 1
+"""
+
+
+# -- grouped second moments (exact integer covariance sketch) ------------------
+
+
+def q_grouped_moments(sf_dir: str):
+    """Exact per-group second moments of lineitem (per l_returnflag:
+    n, Σqty, Σqty², Σprice-cents, Σqty·price-cents) — the mergeable
+    moments sketch from which mean/variance/covariance/correlation all
+    derive in one pass.  Emitted as raw INTEGER sums (quantities are
+    integer-valued, prices carry exactly 2 decimals) so the result is
+    bit-exact under ANY block split or combine order — the
+    hash-stable way to ship distribution statistics, where a float
+    streaming variance would depend on reduction order.
+
+    Shape: per-block arrow ``group_by`` partials (≤ |flags| rows per
+    block) → tiny final combine; the moments never shuffle row-level
+    data.  Bounds: Σqty·price_c ≤ 50·10⁷ per row ⇒ int64 holds ~10⁹
+    rows per group; past that, split the sum into per-bucket int64
+    lanes (or a 128-bit pair) before combining."""
+    import pandas as pd
+
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        qty = pc.cast(pc.round(t["l_quantity"]), pa.int64())
+        cents = pc.cast(
+            pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64()
+        )
+        return (
+            pa.table(
+                {
+                    "l_returnflag": t["l_returnflag"],
+                    "n": pa.array(np.ones(t.num_rows, np.int64)),
+                    "sum_qty": qty,
+                    "sum_qty2": pc.multiply(qty, qty),
+                    "sum_cents": cents,
+                    "sum_qty_cents": pc.multiply(qty, cents),
+                }
+            )
+            .group_by("l_returnflag")
+            .aggregate(
+                [("n", "sum"), ("sum_qty", "sum"), ("sum_qty2", "sum"),
+                 ("sum_cents", "sum"), ("sum_qty_cents", "sum")]
+            )
+            .rename_columns(
+                ["l_returnflag", "n", "sum_qty", "sum_qty2",
+                 "sum_cents", "sum_qty_cents"]
+            )
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_returnflag": [g["l_returnflag"].iloc[0]],
+                **{
+                    c: [np.int64(g[c].sum())]
+                    for c in ("n", "sum_qty", "sum_qty2",
+                              "sum_cents", "sum_qty_cents")
+                },
+            }
+        )
+
+    return (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+SQL_GROUPED_MOMENTS = """
+SELECT l_returnflag,
+       count(*) AS n,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)
+                * CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty2,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_cents,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)
+                * CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_qty_cents
+FROM lineitem GROUP BY l_returnflag
+"""

@@ -898,3 +898,49 @@ SELECT pos,
        floor(sqrt(msq - mean_raw * mean_raw) * 1e6 + 0.5) / 1e6 AS std
 FROM agg
 """
+
+
+# -- per-vector norms (row-wise embedding reduce, shuffle-free) ----------------
+
+
+def q_embedding_norms(sf_dir: str):
+    """Per-vector L2 norm (squared, on the 1e-6 integer grid) and
+    dimensionality — the normalize-before-cosine prologue every
+    embedding pipeline runs, emitted as exact integers so the result is
+    bit-stable under any batching.
+
+    Shape: one shuffle-free ``map_batches`` — each block's list column
+    flattens zero-copy to a (rows × dim) numpy view, squares and
+    row-sums vectorized; quantization is ``floor(x·grid + 0.5)`` on
+    BOTH sides (same grid as `q_embedding_stats`), so int64 holds
+    norms up to dim ≈ 9·10⁶ at unit scale."""
+    ds = _emb(sf_dir)
+
+    def norms(t: pa.Table) -> pa.Table:
+        la = t["embedding"].combine_chunks()
+        dim = len(la[0]) if len(la) else 0
+        x = la.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        xq = np.floor(x * EMB_GRID + 0.5).astype(np.int64).reshape(-1, dim)
+        return pa.table(
+            {
+                "vec_id": pc.cast(t["vec_id"], pa.int64()),
+                "dim": pa.array(np.full(len(la), dim, np.int64)),
+                "norm2_q": pa.array((xq * xq).sum(axis=1)),
+            }
+        )
+
+    return ds.map_batches(norms, batch_format="pyarrow")
+
+
+def sql_embedding_norms() -> str:
+    g = int(EMB_GRID)
+    return f"""
+SELECT vec_id,
+       CAST(len(embedding) AS BIGINT) AS dim,
+       CAST(list_aggregate(
+            list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) * {g}.0 + 0.5) AS BIGINT)
+                     * CAST(floor(CAST(x AS DOUBLE) * {g}.0 + 0.5) AS BIGINT)),
+            'sum') AS BIGINT) AS norm2_q
+FROM embeddings
+"""

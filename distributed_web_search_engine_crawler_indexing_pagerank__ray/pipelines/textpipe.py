@@ -692,3 +692,89 @@ SELECT source, lang,
 FROM documents
 GROUP BY source, lang
 """
+
+
+# -- bigram counts (order-aware n-gram frequency sweep) ------------------------
+
+BIGRAM_TOPN = 50
+
+
+def q_bigram_counts(sf_dir: str):
+    """Top adjacent word pairs across the corpus — the order-aware
+    n-gram frequency sweep (wordcount's unigram sibling) that feeds
+    collocation mining and tokenizer-vocab construction.
+
+    Shape: fully vectorized — each block lowercases + regex-splits via
+    arrow kernels, flattens the token lists zero-copy, drops empty
+    tokens, pairs each token with its successor WITHIN the same
+    document (a doc-index vector masks run boundaries — no per-doc
+    Python loop), joins pairs with one arrow kernel, and pre-counts
+    per block; only ≤ |vocab|² partial rows reach the final
+    ``groupby(bigram)`` sum.  Deterministic top-N: full (cnt DESC,
+    bigram ASC) tie-break before the limit."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(t["text"]), pattern="[^a-z]+"
+        )
+        la = toks.combine_chunks()
+        offsets = la.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = la.flatten()  # skips null lists; offsets align with values
+        nv = len(v)
+        if nv == 0:
+            return pa.table(
+                {"bigram": pa.array([], pa.string()),
+                 "c": pa.array([], pa.int64())}
+            )
+        doc = np.repeat(
+            np.arange(len(offsets) - 1, dtype=np.int64), np.diff(offsets)
+        )
+        keep = pc.not_equal(v, "").to_numpy(zero_copy_only=False)
+        v = v.filter(pa.array(keep))
+        doc = doc[keep]
+        if len(v) < 2:
+            return pa.table(
+                {"bigram": pa.array([], pa.string()),
+                 "c": pa.array([], pa.int64())}
+            )
+        same = doc[1:] == doc[:-1]
+        pairs = pc.binary_join_element_wise(
+            v.slice(0, len(v) - 1), v.slice(1), " "
+        ).filter(pa.array(same))
+        return (
+            pa.table(
+                {
+                    "bigram": pairs,
+                    "c": pa.array(np.ones(len(pairs), np.int64)),
+                }
+            )
+            .group_by("bigram")
+            .aggregate([("c", "sum")])
+            .rename_columns(["bigram", "c"])
+        )
+
+    ds = _docs(sf_dir).map_batches(partial, batch_format="pyarrow")
+    out = ds.groupby("bigram").aggregate(Sum("c", alias_name="cnt"))
+    return out.sort(["cnt", "bigram"], descending=[True, False]).limit(
+        BIGRAM_TOPN
+    )
+
+
+SQL_BIGRAM_COUNTS = f"""
+WITH t AS (
+    SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                       x -> x <> '') AS l
+    FROM documents
+),
+b AS (
+    SELECT unnest(list_zip(l[1:len(l) - 1], l[2:len(l)])) AS p
+    FROM t WHERE len(l) >= 2
+)
+SELECT p[1] || ' ' || p[2] AS bigram, count(*) AS cnt
+FROM b
+GROUP BY 1
+ORDER BY cnt DESC, bigram
+LIMIT {BIGRAM_TOPN}
+"""
