@@ -1022,3 +1022,206 @@ def test_event_deltas_lag_semantics(tmp_path):
     assert out.n_gaps.tolist() == [2, 2]
     assert out.max_gap_us.tolist() == [30, 5]
     assert out.mean_gap_us.tolist() == [20, 2]  # (10+30)//2, (0+5)//2
+
+
+def test_bigram_counts_respect_doc_boundaries(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines import textpipe
+
+    # doc 1: two bigrams; doc 2: one bigram whose cross-doc pairing with
+    # doc 1's tail would forge "baz baz"; doc 3: null text; doc 4: a
+    # single token (no bigram); doc 5: punctuation-split pair.
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "text": pa.array(
+                    ["foo bar baz", "baz foo", None, "solo", "x. y!"],
+                    pa.string(),
+                ),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = _to_df(textpipe.q_bigram_counts(str(tmp_path)))
+    got = dict(zip(out.bigram, out.cnt))
+    assert got == {"foo bar": 1, "bar baz": 1, "baz foo": 1, "x y": 1}
+    assert "baz baz" not in got  # no cross-document pairing
+
+
+def test_funnel_conversion_semantics(tmp_path):
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines import events as ev
+
+    t0 = datetime.datetime(2024, 1, 1)
+    ts = lambda s: t0 + datetime.timedelta(seconds=s)
+    rows = [  # (user, type, t)
+        (1, "view", 0), (1, "purchase", 10),        # converted
+        (2, "purchase", 0), (2, "view", 10),        # wrong order
+        (3, "view", 5),                             # view only
+        (4, "purchase", 5),                         # purchase only
+        (5, "view", 7), (5, "purchase", 7),         # tie: strict < fails
+        (6, "click", 3),                            # neither step: absent
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_type": pa.array([r[1] for r in rows], pa.string()),
+                "ts": pa.array([ts(r[2]) for r in rows], pa.timestamp("us")),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    out = (
+        _to_df(ev.q_funnel_conversion(str(tmp_path)))
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert out.user_id.tolist() == [1, 2, 3, 4, 5]
+    assert out.converted.tolist() == [1, 0, 0, 0, 0]
+    assert out.loc[2, "first_purchase_us"] == -1  # user 3: view only
+    assert out.loc[3, "first_view_us"] == -1      # user 4: purchase only
+
+
+def test_except_parts_set_semantics(tmp_path):
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines import relational
+
+    d = lambda iso: datetime.datetime.fromisoformat(iso)
+    # part 1: late only -> kept; part 2: late AND early -> dropped;
+    # part 3: early only -> dropped; part 4: mid-window only -> dropped.
+    pq.write_table(
+        pa.table(
+            {
+                "l_partkey": pa.array([1, 2, 2, 3, 4], pa.int64()),
+                "l_shipdate": pa.array(
+                    [d("2001-05-01"), d("2001-06-01"), d("1995-05-01"),
+                     d("1995-06-01"), d("1999-01-01")],
+                    pa.timestamp("us"),
+                ),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    out = _to_df(relational.q_except_parts(str(tmp_path)))
+    assert out.partkey.tolist() == [1]
+
+
+def test_zscore_outliers_flags_only_tails(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines import events as ev
+
+    vals = [10.0] * 9 + [100.0]  # z(100) ~ 2.85 > 2; z(10) ~ -0.32
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(1, 11), pa.int64()),
+                "event_type": pa.array(["a"] * 10, pa.string()),
+                "value": pa.array(vals, pa.float64()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    out = _to_df(ev.q_zscore_outliers(str(tmp_path)))
+    assert out.event_id.tolist() == [10]
+    assert out.value.tolist() == [100.0]
+    assert (out.z > 2.0).all()
+
+
+def test_embedding_norms_exact_small(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines import similarity
+
+    emb = pa.array(
+        [[0.5, -0.25, 0.0], [1.0, 1.0, 1.0]], pa.list_(pa.float32())
+    )
+    pq.write_table(
+        pa.table({"vec_id": pa.array([7, 8], pa.int64()), "embedding": emb}),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    out = (
+        _to_df(similarity.q_embedding_norms(str(tmp_path)))
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert out.dim.tolist() == [3, 3]
+    assert out.norm2_q.tolist() == [
+        500000**2 + 250000**2, 3 * 1000000**2
+    ]
+
+
+def test_join_semi_keeps_only_matching_orders(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines import relational
+
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([1, 2], pa.int64()),
+                "c_acctbal": pa.array([9000.0, 100.0]),
+            }
+        ),
+        str(tmp_path / "customer.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([10, 11, 12], pa.int64()),
+                "o_custkey": pa.array([1, 2, 1], pa.int64()),
+                "o_totalprice": pa.array([5.0, 6.0, 7.0]),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    out = (
+        _to_df(relational.q_join_semi(str(tmp_path)))
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    assert out.o_orderkey.tolist() == [10, 12]
+    assert set(out.o_custkey) == {1}
+
+
+def test_grouped_moments_exact_small(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines import relational
+
+    pq.write_table(
+        pa.table(
+            {
+                "l_returnflag": pa.array(["A", "A", "B"], pa.string()),
+                "l_quantity": pa.array([2.0, 3.0, 5.0]),
+                "l_extendedprice": pa.array([1.50, 2.25, 10.00]),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    out = (
+        _to_df(relational.q_grouped_moments(str(tmp_path)))
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )
+    assert out.n.tolist() == [2, 1]
+    assert out.sum_qty.tolist() == [5, 5]
+    assert out.sum_qty2.tolist() == [13, 25]
+    assert out.sum_cents.tolist() == [375, 1000]
+    assert out.sum_qty_cents.tolist() == [2 * 150 + 3 * 225, 5 * 1000]
