@@ -53,13 +53,23 @@ class TableCatalog:
     checked at import above); the default parquet directory keeps the
     identical catalog discipline (atomic rename, partition dirs, pruned
     reads), so the storage format is a per-catalog switch, not a code
-    path."""
+    path.  ``fmt="jsonl"`` / ``fmt="csv"`` are the interchange formats
+    (export-to / import-from the rest of an LLM-data stack): same
+    atomic directory discipline, one file per output block, lazy
+    ``ray.data`` reads — but no column pruning at the read (row-based
+    formats parse before projecting) and weaker type fidelity
+    (timestamps round-trip as strings), so parquet/lance stay the
+    durable internal layout."""
+
+    FORMATS = ("parquet", "lance", "jsonl", "csv")
 
     def __init__(self, root: str, fmt: str = "parquet"):
         if fmt == "lance" and not LANCE_AVAILABLE:
             raise RuntimeError(
                 "lance requested but the package is not installed"
             )
+        if fmt not in self.FORMATS:
+            raise ValueError(f"unknown table format: {fmt!r}")
         self.fmt = fmt
         self.root = root
         os.makedirs(root, exist_ok=True)
@@ -94,7 +104,21 @@ class TableCatalog:
             _lance.write_dataset(tbl, tmp)
         elif isinstance(data, pa.Table):
             os.makedirs(tmp, exist_ok=True)
-            pq.write_table(data, os.path.join(tmp, "part-0.parquet"))
+            if self.fmt == "jsonl":
+                data.to_pandas().to_json(
+                    os.path.join(tmp, "part-0.json"),
+                    orient="records", lines=True,
+                )
+            elif self.fmt == "csv":
+                import pyarrow.csv as pacsv
+
+                pacsv.write_csv(data, os.path.join(tmp, "part-0.csv"))
+            else:
+                pq.write_table(data, os.path.join(tmp, "part-0.parquet"))
+        elif self.fmt == "jsonl":
+            data.write_json(tmp)
+        elif self.fmt == "csv":
+            data.write_csv(tmp)
         else:
             data.write_parquet(tmp)
         if mode == "overwrite" and os.path.isdir(final):
@@ -122,25 +146,58 @@ class TableCatalog:
     # -- read ---------------------------------------------------------------
 
     def read(self, name: str, columns: list[str] | None = None):
-        """Lazy Dataset over the table directory (column-pruned read)."""
+        """Lazy Dataset over the table directory (column-pruned read where
+        the format has column metadata; jsonl/csv project after parse)."""
         if self.fmt == "lance":
             return ray.data.read_lance(self.path(name), columns=columns)
+        if self.fmt == "jsonl":
+            ds = ray.data.read_json(self.path(name))
+            return ds.select_columns(columns) if columns else ds
+        if self.fmt == "csv":
+            ds = ray.data.read_csv(self.path(name))
+            return ds.select_columns(columns) if columns else ds
         return ray.data.read_parquet(self.path(name), columns=columns)
+
+    def _files(self, name: str, suffix: str) -> list[str]:
+        out = []
+        for dirpath, _dirs, files in os.walk(self.path(name)):
+            out += [os.path.join(dirpath, f) for f in files
+                    if f.endswith(suffix)]
+        return sorted(out)
 
     def read_arrow(self, name: str) -> pa.Table:
         if self.fmt == "lance":
             ds = _lance.dataset(self.path(name))
             return ds.to_table()
+        if self.fmt == "jsonl":
+            import pyarrow.json as pajson
+
+            return pa.concat_tables(
+                [pajson.read_json(f) for f in self._files(name, ".json")]
+            )
+        if self.fmt == "csv":
+            import pyarrow.csv as pacsv
+
+            return pa.concat_tables(
+                [pacsv.read_csv(f) for f in self._files(name, ".csv")]
+            )
         return pq.read_table(self.path(name))
 
     def count(self, name: str) -> int:
-        """``kvs.count`` from parquet metadata (no data read)."""
-        total = 0
-        for dirpath, _dirs, files in os.walk(self.path(name)):
-            for f in files:
-                if f.endswith(".parquet"):
-                    total += pq.ParquetFile(os.path.join(dirpath, f)).metadata.num_rows
-        return total
+        """``kvs.count`` — from parquet metadata (no data read) where the
+        format has it; jsonl counts lines; csv falls back to a parse."""
+        if self.fmt == "parquet":
+            total = 0
+            for f in self._files(name, ".parquet"):
+                total += pq.ParquetFile(f).metadata.num_rows
+            return total
+        if self.fmt == "jsonl":  # 1 row per line by construction
+            total = 0
+            for f in self._files(name, ".json"):
+                with open(f, "rb") as fh:
+                    total += sum(1 for _ in fh)
+            return total
+        return self.read_arrow(name).num_rows
 
 
 class JobContext:

@@ -77,3 +77,42 @@ def test_lance_format_gating(tmp_path):
     cat.write("pt-x", t)
     assert cat.read_arrow("pt-x").equals(t)
     assert cat.read("pt-x").count() == 3
+
+
+@pytest.mark.parametrize("fmt", ["jsonl", "csv"])
+def test_interchange_format_roundtrip(tmp_path, fmt, ray_session):
+    """JSONL / CSV catalogs keep the same discipline as parquet: atomic
+    write, Dataset + arrow reads, counts — the interchange formats an
+    LLM-data pipeline exports to / imports from."""
+    cat = TableCatalog(str(tmp_path), fmt=fmt)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([3, 1, 2], pa.int64()),
+            "text": pa.array(["alpha", "beta", "gamma"]),
+            "n_chars": pa.array([5, 4, 5], pa.int64()),
+        }
+    )
+    # arrow-table write path
+    cat.write("docs", tbl)
+    assert cat.exists("docs") and cat.count("docs") == 3
+    back = cat.read_arrow("docs").to_pandas().sort_values("doc_id")
+    assert back.text.tolist() == ["beta", "gamma", "alpha"]
+    # Dataset write path (per-block files) + lazy read with projection
+    import ray.data
+
+    ds = ray.data.from_arrow(tbl).repartition(2)
+    cat.write("docs2", ds)
+    assert cat.count("docs2") == 3
+    got = cat.read("docs2", columns=["doc_id"]).to_pandas()
+    assert sorted(got.columns) == ["doc_id"]
+    assert sorted(got.doc_id.tolist()) == [1, 2, 3]
+    # atomic overwrite keeps working across formats
+    cat.write("docs", pa.table({"doc_id": pa.array([9], pa.int64()),
+                                "text": pa.array(["z"]),
+                                "n_chars": pa.array([1], pa.int64())}))
+    assert cat.count("docs") == 1
+
+
+def test_unknown_format_rejected(tmp_path):
+    with pytest.raises(ValueError):
+        TableCatalog(str(tmp_path), fmt="orc")
