@@ -88,3 +88,57 @@ def query_tokens(raw_query: str | None) -> list[str]:
         for w in _WS_SPLIT_RE.split(raw_query.lower())
         if w and w not in STOP_WORDS
     ]
+
+
+_STOP_ARR_CACHE = None
+
+
+def _stop_arr():
+    global _STOP_ARR_CACHE
+    if _STOP_ARR_CACHE is None:
+        import pyarrow as pa
+
+        _STOP_ARR_CACHE = pa.array(sorted(STOP_WORDS), pa.string())
+    return _STOP_ARR_CACHE
+
+
+def doc_token_counts(texts):
+    """Vectorized per-document term counts over a batch of texts — the
+    batched equivalent of ``word_counts`` per text (identical token
+    semantics: lowercase ``[^a-z]+`` split, len ≤ 25, stopword drop),
+    built from arrow kernels instead of a per-doc Python loop.
+
+    ``texts``: list[str|None] or a pyarrow string array.  Returns an
+    arrow table ``(doc int64, word string, c int64)`` where ``doc``
+    indexes into the input batch."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        texts = pa.array(list(texts), pa.string())
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    txt = pc.coalesce(texts, pa.scalar("", pa.string()))
+    lists = pc.split_pattern_regex(pc.utf8_lower(txt), pattern="[^a-z]+")
+    flat = pc.list_flatten(lists)
+    parents = pc.list_parent_indices(lists)
+    ln = pc.utf8_length(flat)
+    keep = pc.and_(
+        pc.and_(pc.greater(ln, 0), pc.less_equal(ln, MAX_WORD_LENGTH)),
+        pc.invert(pc.is_in(flat, value_set=_stop_arr())),
+    )
+    flat = pc.filter(flat, keep)
+    parents = pc.filter(parents, keep)
+    return (
+        pa.table(
+            {
+                "doc": pc.cast(parents, pa.int64()),
+                "word": flat,
+                "c": pa.array(np.ones(len(flat), np.int64)),
+            }
+        )
+        .group_by(["doc", "word"])
+        .aggregate([("c", "sum")])
+        .rename_columns(["doc", "word", "c"])
+    )

@@ -16,7 +16,7 @@ import ray
 import ray.data
 
 from ..functions.html import extract_body_text_index
-from ..functions.tokenize import index_words
+from ..functions.tokenize import doc_token_counts
 from ..oracle.downstream_oracle import (
     MAX_HTML_BYTES,
     MIN_PAGE_BYTES,
@@ -35,8 +35,17 @@ INDEX_SCHEMA = pa.schema(
 
 
 def _word_pairs(batch: pa.Table) -> pa.Table:
-    """page row → (word, url, wave, url_hash) pairs (I1, I3, I4)."""
-    words, urls, waves, hashes = [], [], [], []
+    """page row → (word, url, wave, url_hash) pairs (I1, I3, I4).
+
+    HTML body extraction stays a per-page compiled-regex pass (the
+    reference's slicing semantics aren't expressible as one arrow
+    kernel); tokenize + per-doc min-freq counting run vectorized over
+    the whole batch via ``doc_token_counts`` (same token semantics as
+    the ``index_words`` loop this replaced — tests/test_downstream.py
+    proves the index byte-equal to the oracle)."""
+    import pyarrow.compute as pc
+
+    texts, urls, waves, hashes = [], [], [], []
     for url, url_hash, wave, page in zip(
         batch["url"].to_pylist(),
         batch["url_hash"].to_pylist(),
@@ -46,18 +55,31 @@ def _word_pairs(batch: pa.Table) -> pa.Table:
         if page is None or len(page) < MIN_PAGE_BYTES:
             continue
         html = page[:MAX_HTML_BYTES].decode("utf-8", errors="replace")
-        text = extract_body_text_index(html)
-        for w in index_words(text, MIN_WORD_FREQ):
-            words.append(w)
-            urls.append(url)
-            waves.append(wave)
-            hashes.append(url_hash)
+        texts.append(extract_body_text_index(html))
+        urls.append(url)
+        waves.append(wave)
+        hashes.append(url_hash)
+    empty = pa.table(
+        {
+            "word": pa.array([], pa.string()),
+            "url": pa.array([], pa.string()),
+            "wave": pa.array([], pa.int32()),
+            "url_hash": pa.array([], pa.string()),
+        }
+    )
+    if not texts:
+        return empty
+    counts = doc_token_counts(texts)
+    counts = counts.filter(pc.greater_equal(counts["c"], MIN_WORD_FREQ))
+    if counts.num_rows == 0:
+        return empty
+    di = counts["doc"]
     return pa.table(
         {
-            "word": pa.array(words, pa.string()),
-            "url": pa.array(urls, pa.string()),
-            "wave": pa.array(waves, pa.int32()),
-            "url_hash": pa.array(hashes, pa.string()),
+            "word": counts["word"],
+            "url": pc.take(pa.array(urls, pa.string()), di),
+            "wave": pc.take(pa.array(waves, pa.int32()), di),
+            "url_hash": pc.take(pa.array(hashes, pa.string()), di),
         }
     )
 

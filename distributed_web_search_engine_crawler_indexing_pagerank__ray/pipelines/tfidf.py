@@ -20,9 +20,7 @@ import ray.data
 
 from ..functions.hasher import ref_hash
 from ..functions.html import extract_body_text_tfidf
-from ..functions.textstats import idf as idf_fn
-from ..functions.textstats import tf as tf_fn
-from ..functions.tokenize import word_counts
+from ..functions.tokenize import doc_token_counts
 from ..oracle.downstream_oracle import MAX_HTML_BYTES, TFIDF_MAX_TERMS
 
 TFIDF_SCHEMA = pa.schema(
@@ -46,32 +44,60 @@ def make_scorer(index_tbl: pa.Table, n: int):
     df_ref = ray.put(df_map)
 
     def score(batch: pa.Table) -> pa.Table:
+        """HTML extraction stays a per-page compiled-regex pass; the
+        tokenize/count/top-K/score pipeline runs vectorized over the
+        batch (doc_token_counts + one C-level sort + numpy tf·idf);
+        only the ≤``TFIDF_MAX_TERMS``-per-doc ``ref_hash`` keys remain
+        a (short) Python loop.  ``tf_fn``/``idf_fn`` semantics
+        unchanged — tests/test_downstream.py compares every score to
+        the oracle at rel_tol 1e-12."""
+        import numpy as np
+        import pandas as pd
+
         df = ray.get(df_ref)
-        keys, words, urls, tfs, idfs, scores = [], [], [], [], [], []
+        texts, urls = [], []
         for url, page in zip(batch["url"].to_pylist(), batch["page"].to_pylist()):
             html = (page or b"")[:MAX_HTML_BYTES].decode("utf-8", errors="replace")
-            text = extract_body_text_tfidf(html)
-            wc = word_counts(text)
-            top = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[:TFIDF_MAX_TERMS]
-            for word, c in top:
-                tf = tf_fn(c)
-                idf = idf_fn(n, df.get(word, 0))
-                s = tf * idf
-                if s > 0:
-                    keys.append(ref_hash(word + "|" + url))
-                    words.append(word)
-                    urls.append(url)
-                    tfs.append(tf)
-                    idfs.append(idf)
-                    scores.append(s)
+            texts.append(extract_body_text_tfidf(html))
+            urls.append(url)
+        empty = pa.table(
+            {
+                "key": pa.array([], pa.string()),
+                "word": pa.array([], pa.string()),
+                "url": pa.array([], pa.string()),
+                "tf": pa.array([], pa.float64()),
+                "idf": pa.array([], pa.float64()),
+                "tfidf": pa.array([], pa.float64()),
+            }
+        )
+        if not texts:
+            return empty
+        cnt = doc_token_counts(texts).to_pandas()
+        if len(cnt) == 0:
+            return empty
+        cnt = cnt.sort_values(
+            ["doc", "c", "word"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        top = cnt.groupby("doc", sort=False).head(TFIDF_MAX_TERMS)
+        words = top["word"].to_numpy()
+        dfi = pd.Index(list(df)).get_indexer(words)
+        dfc = np.concatenate([np.asarray(list(df.values()), np.float64), [0.0]])[dfi]
+        tf = 1.0 + np.log(top["c"].to_numpy(np.float64))
+        idf = np.log((n + 1.0) / (dfc + 1.0))
+        s = tf * idf
+        keep = s > 0
+        top = top[keep]
+        urow = [urls[d] for d in top["doc"]]
+        keys = [ref_hash(w + "|" + u) for w, u in zip(top["word"], urow)]
         return pa.table(
             {
                 "key": pa.array(keys, pa.string()),
-                "word": pa.array(words, pa.string()),
-                "url": pa.array(urls, pa.string()),
-                "tf": pa.array(tfs, pa.float64()),
-                "idf": pa.array(idfs, pa.float64()),
-                "tfidf": pa.array(scores, pa.float64()),
+                "word": pa.array(top["word"].to_numpy(), pa.string()),
+                "url": pa.array(urow, pa.string()),
+                "tf": pa.array(tf[keep], pa.float64()),
+                "idf": pa.array(idf[keep], pa.float64()),
+                "tfidf": pa.array(s[keep], pa.float64()),
             }
         )
 
