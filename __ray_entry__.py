@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_extract": events.q_props_extract,
         "bigram_counts": textpipe.q_bigram_counts,
         "embedding_norms": similarity.q_embedding_norms,
+        "above_avg_orders": relational.q_above_avg_orders,
         # rows-only from here: data-dependent (k-means) or exact
         # reference-semantics oracles run in tests/ instead of SQL
         "knn_ivf": similarity.q_knn_ivf,
@@ -220,4 +221,5 @@ def oracle_sql() -> dict[str, str]:
         "props_extract": events.SQL_PROPS_EXTRACT,
         "bigram_counts": textpipe.SQL_BIGRAM_COUNTS,
         "embedding_norms": similarity.sql_embedding_norms(),
+        "above_avg_orders": relational.SQL_ABOVE_AVG_ORDERS,
     }

@@ -1653,3 +1653,107 @@ SELECT l_returnflag,
            AS sum_qty_cents
 FROM lineitem GROUP BY l_returnflag
 """
+
+
+# -- correlated filter (per-key stat join-back, one co-bucketed shuffle) -------
+
+
+def q_above_avg_orders(sf_dir: str):
+    """Orders priced above their own customer's average order value —
+    the correlated-subquery verb (``WHERE x > (SELECT avg(..) ...
+    correlated)``), the normalize-against-your-group step every
+    per-entity quality gate runs.
+
+    Shape: the per-customer stat side is as large as the key space, so
+    NO broadcast — order rows and per-block (custkey, n, sum-cents)
+    stat partials co-bucket by ``custkey & (B-1)`` into ONE
+    size-derived ``groupby(bucket)``; each group first combines the
+    partials per key (additive integers), then filters its own rows
+    vectorized — the `lm_unigram_score` join-back shape on a relational
+    key.  Exactness: the mean is one IEEE division of exact integers,
+    identical on the SQL side, so the `>` boundary is deterministic."""
+    import pandas as pd
+
+    B = bucket_count(parquet_rows(f"{sf_dir}/orders.parquet"))
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        k = pc.cast(t["o_custkey"], pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                        pa.int64())
+        rows = pa.table(
+            {
+                "bucket": pc.cast(pc.bit_wise_and(k, pa.scalar(B - 1)),
+                                  pa.int32()),
+                "key": k,
+                "okey": pc.cast(t["o_orderkey"], pa.int64()),
+                "price": t["o_totalprice"],
+                "cents": cents,
+                "n": pa.array(np.zeros(t.num_rows, np.int64)),  # row marker
+                "sc": pa.array(np.zeros(t.num_rows, np.int64)),
+            }
+        )
+        stats = (
+            pa.table({"key": k, "n": pa.array(np.ones(t.num_rows, np.int64)),
+                      "sc": cents})
+            .group_by("key")
+            .aggregate([("n", "sum"), ("sc", "sum")])
+        )
+        sk = stats["key"]
+        parts = pa.table(
+            {
+                "bucket": pc.cast(pc.bit_wise_and(sk, pa.scalar(B - 1)),
+                                  pa.int32()),
+                "key": sk,
+                "okey": pa.array(np.full(stats.num_rows, -1, np.int64)),
+                "price": pa.nulls(stats.num_rows, pa.float64()),
+                "cents": pa.array(np.zeros(stats.num_rows, np.int64)),
+                "n": stats["n_sum"],
+                "sc": stats["sc_sum"],
+            }
+        )
+        return pa.concat_tables([rows, parts])
+
+    def filter_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        stats = (
+            g.loc[g["okey"] < 0, ["key", "n", "sc"]]
+            .groupby("key", as_index=False)
+            .sum()
+        )
+        mean = dict(zip(stats["key"],
+                        stats["sc"].to_numpy(np.float64)
+                        / stats["n"].to_numpy(np.float64)))
+        rows = g[g["okey"] >= 0]
+        mv = rows["key"].map(mean).to_numpy(np.float64)
+        keep = rows["cents"].to_numpy(np.float64) > mv
+        rows = rows[keep]
+        return pd.DataFrame(
+            {
+                "o_orderkey": rows["okey"].to_numpy(np.int64),
+                "o_custkey": rows["key"].to_numpy(np.int64),
+                "o_totalprice": rows["price"].to_numpy(np.float64),
+                "avg_cents": np.round(mv[keep], 6),
+            }
+        )
+
+    return (
+        orders.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(filter_bucket, batch_format="pandas")
+    )
+
+
+SQL_ABOVE_AVG_ORDERS = """
+WITH a AS (
+    SELECT o_custkey,
+           count(*) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sc
+    FROM orders GROUP BY o_custkey
+)
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+       round(a.sc / a.n, 6) AS avg_cents
+FROM orders o JOIN a USING (o_custkey)
+WHERE CAST(round(o.o_totalprice * 100) AS BIGINT) > a.sc / a.n
+"""
