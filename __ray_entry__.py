@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_counts": textpipe.q_bigram_counts,
         "embedding_norms": similarity.q_embedding_norms,
         "above_avg_orders": relational.q_above_avg_orders,
+        "distinct_users_by_type": events.q_distinct_users_by_type,
         # rows-only from here: data-dependent (k-means) or exact
         # reference-semantics oracles run in tests/ instead of SQL
         "knn_ivf": similarity.q_knn_ivf,
@@ -222,4 +223,5 @@ def oracle_sql() -> dict[str, str]:
         "bigram_counts": textpipe.SQL_BIGRAM_COUNTS,
         "embedding_norms": similarity.sql_embedding_norms(),
         "above_avg_orders": relational.SQL_ABOVE_AVG_ORDERS,
+        "distinct_users_by_type": events.SQL_DISTINCT_USERS_BY_TYPE,
     }

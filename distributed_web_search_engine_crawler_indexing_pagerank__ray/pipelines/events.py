@@ -1270,3 +1270,75 @@ SELECT event_type,
            AS max_k
 FROM events GROUP BY event_type
 """
+
+
+# -- exact grouped count-distinct (two-level distinct reduce) ------------------
+
+
+def q_distinct_users_by_type(sf_dir: str):
+    """Exact ``count(DISTINCT user_id)`` per event_type — the exact
+    sibling of `q_approx_distinct_users` (HLL): when the key space fits
+    a shuffle, the exact verb is a TWO-LEVEL reduce — each block first
+    collapses to its distinct (type, user) pairs (an arrow ``group_by``
+    — the pair stream shrinks before it moves), the pairs co-bucket by
+    ``user & (B-1)`` so every duplicate pair lands in the same group
+    and is counted once, and per-bucket partial counts per type sum to
+    the answer.  Scale: the shuffle carries distinct pairs only; at
+    cardinalities where even that is too much, `q_approx_distinct_users`
+    is the documented swap."""
+    NB = bucket_count(parquet_rows(f"{sf_dir}/events.parquet"))
+    ev = _events(sf_dir, ["event_type", "user_id"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        part = (
+            pa.table(
+                {
+                    "event_type": t["event_type"],
+                    "user_id": pc.cast(t["user_id"], pa.int64()),
+                }
+            )
+            .group_by(["event_type", "user_id"])
+            .aggregate([])
+        )
+        return pa.table(
+            {
+                "bucket": pc.cast(
+                    pc.bit_wise_and(part["user_id"], pa.scalar(NB - 1)),
+                    pa.int32(),
+                ),
+                "event_type": part["event_type"],
+                "user_id": part["user_id"],
+            }
+        )
+
+    def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["event_type", "user_id"])
+        out = d.groupby("event_type", as_index=False).size()
+        return pd.DataFrame(
+            {"event_type": out["event_type"],
+             "n": out["size"].astype(np.int64)}
+        )
+
+    partials = (
+        ev.map_batches(pairs, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(count_bucket, batch_format="pandas")
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "n_users": [np.int64(g["n"].sum())],
+            }
+        )
+
+    return partials.groupby("event_type").map_groups(
+        merge, batch_format="pandas"
+    )
+
+
+SQL_DISTINCT_USERS_BY_TYPE = """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
