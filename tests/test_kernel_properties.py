@@ -346,3 +346,22 @@ def test_doc_scorer_batch_split_invariant(docs, split):
 
     joined = pd.concat([a, b], ignore_index=True)
     pd.testing.assert_frame_equal(whole, joined)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.one_of(st.none(), st.text(max_size=120)), max_size=12))
+def test_doc_token_counts_matches_scalar_tokenizer(texts):
+    """The vectorized arrow batch tokenizer is exactly word_counts()
+    per document — same split, length cap, stopword drop — for
+    arbitrary (incl. None / empty / non-ascii) inputs."""
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.functions.tokenize import (
+        doc_token_counts,
+        word_counts,
+    )
+
+    tbl = doc_token_counts(texts).to_pandas()
+    for i, t in enumerate(texts):
+        ref = dict(word_counts(t or ""))
+        sub = tbl[tbl.doc == i]
+        got = dict(zip(sub.word, (int(c) for c in sub.c)))
+        assert got == ref, (i, t, got, ref)
