@@ -161,6 +161,18 @@ QUERY_NAMES = [
     "model_score",
     "join_full",
     "event_deltas",
+    "join_semi",
+    "except_parts",
+    "histogram_prices",
+    "monthly_orders",
+    "grouped_moments",
+    "funnel_conversion",
+    "zscore_outliers",
+    "props_extract",
+    "bigram_counts",
+    "embedding_norms",
+    "above_avg_orders",
+    "distinct_users_by_type",
 ]
 
 
