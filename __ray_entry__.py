@@ -135,6 +135,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_norms": similarity.q_embedding_norms,
         "above_avg_orders": relational.q_above_avg_orders,
         "distinct_users_by_type": events.q_distinct_users_by_type,
+        "cumulative_revenue": relational.q_cumulative_revenue,
+        "ntile_price": relational.q_ntile_price,
+        "bloom_semi_join": relational.q_bloom_semi_join,
+        "first_last_orders": relational.q_first_last_orders,
+        "pareto_parts": relational.q_pareto_parts,
+        "mode_event_type": events.q_mode_event_type,
+        "cooccurrence_types": events.q_cooccurrence_types,
         # rows-only from here: data-dependent (k-means) or exact
         # reference-semantics oracles run in tests/ instead of SQL
         "knn_ivf": similarity.q_knn_ivf,
@@ -224,4 +231,11 @@ def oracle_sql() -> dict[str, str]:
         "embedding_norms": similarity.sql_embedding_norms(),
         "above_avg_orders": relational.SQL_ABOVE_AVG_ORDERS,
         "distinct_users_by_type": events.SQL_DISTINCT_USERS_BY_TYPE,
+        "cumulative_revenue": relational.SQL_CUMULATIVE_REVENUE,
+        "ntile_price": relational.SQL_NTILE_PRICE,
+        "bloom_semi_join": relational.SQL_BLOOM_SEMI_JOIN,
+        "first_last_orders": relational.SQL_FIRST_LAST_ORDERS,
+        "pareto_parts": relational.SQL_PARETO_PARTS,
+        "mode_event_type": events.SQL_MODE_EVENT_TYPE,
+        "cooccurrence_types": events.SQL_COOCCURRENCE_TYPES,
     }

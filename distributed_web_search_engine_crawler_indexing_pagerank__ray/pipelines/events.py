@@ -1342,3 +1342,163 @@ SQL_DISTINCT_USERS_BY_TYPE = """
 SELECT event_type, count(DISTINCT user_id) AS n_users
 FROM events GROUP BY event_type
 """
+
+
+# -- per-key mode (argmax over combinable counts, deterministic ties) ----------
+
+
+def q_mode_event_type(sf_dir: str):
+    """Each user's most frequent event type (ties → lexicographically
+    smallest type) — the MODE verb behind per-entity profiling.
+
+    Two additive levels, both pre-aggregated: every block reduces to
+    (user, type, partial count) with an arrow ``group_by`` (so the
+    shuffle carries ≤ |distinct (user,type)| rows per block, not raw
+    events), then users co-bucket by ``user_id & (B-1)`` into ONE
+    size-derived ``groupby(bucket)`` whose kernel combines partials
+    and picks each user's argmax vectorized: sort by (user, count
+    DESC, type ASC), keep the first row per user.  Exact integers and
+    a total-order tie-break ⇒ hash-exact at any batch split."""
+    NB = bucket_count(parquet_rows(f"{sf_dir}/events.parquet"))
+    ev = _events(sf_dir, ["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = pc.cast(t["user_id"], pa.int64())
+        part = (
+            pa.table(
+                {
+                    "user_id": u,
+                    "event_type": t["event_type"],
+                    "n": pa.array(np.ones(t.num_rows, np.int64)),
+                }
+            )
+            .group_by(["user_id", "event_type"])
+            .aggregate([("n", "sum")])
+        )
+        return pa.table(
+            {
+                "bucket": pc.cast(
+                    pc.bit_wise_and(part["user_id"], pa.scalar(NB - 1)),
+                    pa.int32(),
+                ),
+                "user_id": part["user_id"],
+                "event_type": part["event_type"],
+                "n": part["n_sum"],
+            }
+        )
+
+    def pick_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["user_id", "event_type"], as_index=False)["n"].sum()
+        c = c.sort_values(
+            ["user_id", "n", "event_type"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        ).drop_duplicates("user_id")
+        return pd.DataFrame(
+            {
+                "user_id": c["user_id"].to_numpy(np.int64),
+                "top_type": c["event_type"].to_numpy(object),
+                "n_events": c["n"].to_numpy(np.int64),
+            }
+        )
+
+    return (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pick_bucket, batch_format="pandas")
+    )
+
+
+SQL_MODE_EVENT_TYPE = """
+WITH c AS (
+    SELECT user_id, event_type, count(*) AS n
+    FROM events GROUP BY user_id, event_type
+)
+SELECT user_id, event_type AS top_type, n AS n_events
+FROM c
+QUALIFY row_number() OVER (
+    PARTITION BY user_id ORDER BY n DESC, event_type) = 1
+"""
+
+
+# -- event-type co-occurrence matrix (distinct reduce + pair expansion) --------
+
+
+def q_cooccurrence_types(sf_dir: str):
+    """For every unordered pair of event types, how many users did
+    BOTH — the co-occurrence-matrix verb behind recommender and
+    feature-correlation pipelines (normally a self-join of the
+    user×type table with itself).
+
+    No self-join shuffle: blocks first reduce to distinct (user, type)
+    pairs locally, users then co-bucket by ``user_id & (B-1)`` into
+    ONE size-derived ``groupby(bucket)`` whose kernel finishes the
+    distinct and expands each user's tiny type set into pairs with a
+    pandas self-merge RESTRICTED to that user (types per user ≤ |type
+    alphabet|, so the expansion is O(users·t²), never O(rows²)), and
+    pre-counts pairs per bucket.  Buckets partition users, so the
+    per-bucket pair counts are disjoint and one final small
+    ``groupby(type_a, type_b)`` sums them — additive at every level."""
+    NB = bucket_count(parquet_rows(f"{sf_dir}/events.parquet"))
+    ev = _events(sf_dir, ["user_id", "event_type"])
+
+    def distinct_local(t: pa.Table) -> pa.Table:
+        u = pc.cast(t["user_id"], pa.int64())
+        d = (
+            pa.table({"user_id": u, "event_type": t["event_type"]})
+            .group_by(["user_id", "event_type"])
+            .aggregate([])
+        )
+        return pa.table(
+            {
+                "bucket": pc.cast(
+                    pc.bit_wise_and(d["user_id"], pa.scalar(NB - 1)),
+                    pa.int32(),
+                ),
+                "user_id": d["user_id"],
+                "event_type": d["event_type"],
+            }
+        )
+
+    def pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["user_id", "event_type"])[
+            ["user_id", "event_type"]
+        ]
+        m = d.merge(d, on="user_id", suffixes=("_a", "_b"))
+        m = m[m["event_type_a"] < m["event_type_b"]]
+        out = m.groupby(["event_type_a", "event_type_b"],
+                        as_index=False).size()
+        return pd.DataFrame(
+            {
+                "type_a": out["event_type_a"].to_numpy(object),
+                "type_b": out["event_type_b"].to_numpy(object),
+                "n": out["size"].to_numpy(np.int64),
+            }
+        )
+
+    def merge_counts(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "type_a": [g["type_a"].iloc[0]],
+                "type_b": [g["type_b"].iloc[0]],
+                "n_users": [np.int64(g["n"].sum())],
+            }
+        )
+
+    return (
+        ev.map_batches(distinct_local, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs_bucket, batch_format="pandas")
+        .groupby(["type_a", "type_b"])
+        .map_groups(merge_counts, batch_format="pandas")
+    )
+
+
+SQL_COOCCURRENCE_TYPES = """
+WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       count(*) AS n_users
+FROM d a JOIN d b USING (user_id)
+WHERE a.event_type < b.event_type
+GROUP BY 1, 2
+"""

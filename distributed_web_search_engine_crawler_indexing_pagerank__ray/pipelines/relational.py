@@ -15,7 +15,12 @@ import ray
 import ray.data
 
 from ..sources.tables import read_parquet_clean
-from ..functions.partitioning import bucket_count, parquet_rows, salt_count
+from ..functions.partitioning import (
+    bucket_count,
+    next_pow2,
+    parquet_rows,
+    salt_count,
+)
 from ray.data.aggregate import Count, Mean, Sum
 
 
@@ -1756,4 +1761,494 @@ SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
        round(a.sc / a.n, 6) AS avg_cents
 FROM orders o JOIN a USING (o_custkey)
 WHERE CAST(round(o.o_totalprice * 100) AS BIGINT) > a.sc / a.n
+"""
+
+
+# -- per-key running total (segmented prefix scan, one shuffle) ---------------
+
+
+def q_cumulative_revenue(sf_dir: str):
+    """Per-customer running spend: for every order, the cumulative sum
+    of that customer's order totals up to and including it, ordered by
+    (o_orderdate, o_orderkey) — the ``SUM(...) OVER (PARTITION BY ...
+    ORDER BY ...)`` window verb that lifetime-value and budget-cap
+    pipelines run.
+
+    Shape = ``events.q_event_deltas``: customers co-bucket by
+    ``custkey & (B-1)`` into ONE size-derived ``groupby(bucket)``
+    shuffle, then each bucket sorts its own rows once and computes a
+    SEGMENTED cumulative sum fully vectorized (global ``np.cumsum``
+    minus each run's starting offset via ``np.repeat``) — no per-key
+    Python loop.  All arithmetic in exact integer cents ⇒ hash-exact
+    vs the SQL window oracle at any batch split.
+
+    Scale posture: B size-derived ⇒ bounded per-group memory and
+    input-proportional parallelism; no salting — a key's ordered run
+    must stay intact (a hot customer sub-partitions by date range
+    carrying one cumulative carry-in scalar per boundary)."""
+    import pandas as pd
+
+    B = bucket_count(parquet_rows(f"{sf_dir}/orders.parquet"))
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        k = pc.cast(t["o_custkey"], pa.int64())
+        return pa.table(
+            {
+                "bucket": pc.cast(pc.bit_wise_and(k, pa.scalar(B - 1)),
+                                  pa.int32()),
+                "o_custkey": k,
+                "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                "date_us": pc.cast(t["o_orderdate"], pa.int64()),
+                "cents": pc.cast(pc.round(pc.multiply(t["o_totalprice"],
+                                                      100.0)),
+                                 pa.int64()),
+            }
+        )
+
+    def scan_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "date_us", "o_orderkey"],
+                          kind="mergesort")
+        k = g["o_custkey"].to_numpy(np.int64)
+        v = g["cents"].to_numpy(np.int64)
+        cs = np.cumsum(v)
+        starts = np.flatnonzero(np.concatenate([[True], k[1:] != k[:-1]]))
+        counts = np.diff(np.concatenate([starts, [len(k)]]))
+        # carry-in for each run = cumsum just before the run start
+        seed = cs[starts] - v[starts]
+        cum = cs - np.repeat(seed, counts)
+        return pd.DataFrame(
+            {
+                "o_orderkey": g["o_orderkey"].to_numpy(np.int64),
+                "o_custkey": k,
+                "cum_spend_cents": cum.astype(np.int64),
+            }
+        )
+
+    return (
+        orders.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(scan_bucket, batch_format="pandas")
+    )
+
+
+SQL_CUMULATIVE_REVENUE = """
+SELECT o_orderkey, o_custkey,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS cum_spend_cents
+FROM orders
+"""
+
+
+# -- NTILE quartiles (global total order without a global sort shuffle) -------
+
+NTILE_K = 4
+NTILE_BUCKET_DOLLARS = 5  # price range per value-range partition
+
+
+def q_ntile_price(sf_dir: str):
+    """NTILE(4) of parts ordered by (p_retailprice, p_partkey) — the
+    quartile-assignment verb behind price-banding and balanced binning.
+
+    Shape = ``q_global_rank``: the sort key value-range-partitions rows
+    (bucket = floor(price) // NTILE_BUCKET_DOLLARS), phase 1 reduces
+    each bucket to a count, the driver prefix-sums those ≤ |buckets|
+    scalars (plus the grand total n, which the tile boundaries need)
+    and broadcasts them, and phase 2 sorts WITHIN each bucket only and
+    maps each global 0-based rank r to its SQL NTILE tile: the first
+    ``n % k`` tiles take ``n//k + 1`` rows, the rest ``n//k`` — exact
+    integer arithmetic both sides.  At 100 TB the bucket histogram
+    comes from a sampled quantile sketch, as in q_global_rank."""
+    import pandas as pd
+
+    parts = _read(sf_dir, "part", ["p_partkey", "p_retailprice"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bucket": pc.cast(
+                    pc.floor(pc.divide(t["p_retailprice"],
+                                       pa.scalar(float(NTILE_BUCKET_DOLLARS)))),
+                    pa.int64(),
+                ),
+                "p_partkey": pc.cast(t["p_partkey"], pa.int64()),
+                "p_retailprice": t["p_retailprice"],
+            }
+        )
+
+    tagged = parts.map_batches(tag, batch_format="pyarrow").materialize()
+
+    bm = (
+        tagged.groupby("bucket")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values("bucket")  # tile order is price ASC
+    )
+    counts = bm["n"].to_numpy(np.int64)
+    n_total = int(counts.sum())
+    prefix = np.concatenate([[np.int64(0)], np.cumsum(counts)[:-1]])
+    seeds = {int(b): int(p) for b, p in zip(bm["bucket"], prefix)}
+    small = ray.put((seeds, n_total))
+
+    def tile_bucket(g: pd.DataFrame) -> pa.Table:
+        seeds_, n = ray.get(small)
+        seed = seeds_[int(g["bucket"].iloc[0])]
+        g = g.sort_values(["p_retailprice", "p_partkey"])
+        r = seed + np.arange(len(g), dtype=np.int64)  # 0-based global rank
+        q, rem = divmod(n, NTILE_K)
+        big = rem * (q + 1)  # rows covered by the (q+1)-sized tiles
+        tile = np.where(
+            r < big,
+            r // (q + 1),
+            rem + (r - big) // max(q, 1),
+        ) + 1
+        return pa.table(
+            {
+                "p_partkey": pa.array(g["p_partkey"].to_numpy(np.int64)),
+                "p_retailprice": pa.array(
+                    g["p_retailprice"].to_numpy(np.float64)
+                ),
+                "tile": pa.array(tile.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return tagged.groupby("bucket").map_groups(
+        tile_bucket, batch_format="pandas"
+    )
+
+
+SQL_NTILE_PRICE = f"""
+SELECT p_partkey, p_retailprice,
+       CAST(ntile({NTILE_K}) OVER (ORDER BY p_retailprice, p_partkey)
+            AS BIGINT) AS tile
+FROM part
+"""
+
+
+# -- Bloom-prefiltered semi join (sketch broadcast + exact co-partition) ------
+
+BLOOM_SIZE_MIN = 40  # build side: parts at least this large
+BLOOM_K = 4          # hash probes per key
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit mix (public splitmix64 constants), vectorized
+    over a uint64 array; uint64 arithmetic wraps, which is the point."""
+    x = x + np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def _bloom_bits(keys: np.ndarray, m_bits: int) -> np.ndarray:
+    """Packed uint64 Bloom bit array of ``keys`` (BLOOM_K probes each)."""
+    bits = np.zeros(m_bits // 64, np.uint64)
+    h = keys.astype(np.uint64)
+    for i in range(BLOOM_K):
+        h = _splitmix64(h + np.uint64(i * 0x9E3779B9))
+        idx = h & np.uint64(m_bits - 1)
+        np.bitwise_or.at(bits, (idx >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (idx & np.uint64(63)))
+    return bits
+
+
+def _bloom_maybe(keys: np.ndarray, bits: np.ndarray, m_bits: int) -> np.ndarray:
+    """Membership mask: True where the filter MAY contain the key."""
+    h = keys.astype(np.uint64)
+    keep = np.ones(len(keys), bool)
+    for i in range(BLOOM_K):
+        h = _splitmix64(h + np.uint64(i * 0x9E3779B9))
+        idx = h & np.uint64(m_bits - 1)
+        word = bits[(idx >> np.uint64(6)).astype(np.int64)]
+        keep &= (word >> (idx & np.uint64(63))) & np.uint64(1) != 0
+    return keep
+
+
+def q_bloom_semi_join(sf_dir: str, m_bits: int | None = None):
+    """Lineitems of large parts (p_size ≥ BLOOM_SIZE_MIN) — the same
+    SEMI JOIN verb as ``q_join_semi``, but via the BLOOM-PREFILTER
+    pattern for when the build side's exact key set is too big to
+    broadcast: ship a fixed-size bit sketch instead, let every probe
+    task drop the guaranteed-misses locally, and make the result exact
+    with a co-partitioned verify over only the SURVIVORS.
+
+    Three stages, all distributed:
+      1. build — each build block hashes its keys into a packed
+         uint64 Bloom array (BLOOM_K splitmix64 probes); the per-block
+         arrays OR together on the driver (the sketch is O(m) = a few
+         hundred KB regardless of build rows) and broadcast once with
+         ``ray.put``.
+      2. probe — every lineitem block tests its partkeys against the
+         shared bits vectorized; false positives survive, misses
+         (guaranteed correct) are dropped, typically >90 % of rows.
+      3. verify — survivors and true build keys co-bucket by
+         ``key & (B-1)`` into one size-derived ``groupby(bucket)``;
+         each group keeps survivors whose key is actually present
+         (``pd.Series.isin``).  The shuffle moves only survivors, which
+         is the entire point of stage 2.
+
+    Exactness: Bloom filters have no false negatives, and stage 3
+    removes the false positives, so the result equals the plain SQL
+    semi join for ANY m_bits (a unit test forces a tiny, collision-
+    heavy filter and checks invariance)."""
+    import pandas as pd
+    import pyarrow.dataset as pads
+
+    build = read_parquet_clean(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_size"],
+        filter=pads.field("p_size") >= BLOOM_SIZE_MIN,
+    )
+    n_build = max(build.count(), 1)
+    if m_bits is None:
+        m_bits = max(next_pow2(16 * n_build), 1 << 14)
+
+    def block_bits(t: pa.Table) -> pa.Table:
+        bits = _bloom_bits(
+            t["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+            m_bits,
+        )
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
+
+    merged = np.zeros(m_bits // 64, np.uint64)
+    for b in build.map_batches(
+        block_bits, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        for raw in b["bits"].to_pylist():
+            merged |= np.frombuffer(raw, np.uint64)
+    bits_ref = ray.put(merged)
+
+    B = bucket_count(parquet_rows(f"{sf_dir}/lineitem.parquet"))
+
+    class Probe:
+        def __init__(self):
+            self.bits = ray.get(bits_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = t["l_partkey"].to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            t = t.filter(pa.array(_bloom_maybe(keys, self.bits, m_bits)))
+            k = pc.cast(t["l_partkey"], pa.int64())
+            return pa.table(
+                {
+                    "bucket": pc.cast(pc.bit_wise_and(k, pa.scalar(B - 1)),
+                                      pa.int32()),
+                    "l_partkey": k,
+                    "l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+                    "l_linenumber": pc.cast(t["l_linenumber"], pa.int64()),
+                }
+            )
+
+    def tag_build(t: pa.Table) -> pa.Table:
+        k = pc.cast(t["p_partkey"], pa.int64())
+        return pa.table(
+            {
+                "bucket": pc.cast(pc.bit_wise_and(k, pa.scalar(B - 1)),
+                                  pa.int32()),
+                "l_partkey": k,
+                "l_orderkey": pa.array(np.full(t.num_rows, -1, np.int64)),
+                "l_linenumber": pa.array(np.zeros(t.num_rows, np.int64)),
+            }
+        )
+
+    survivors = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_partkey"]
+    ).map_batches(Probe, batch_format="pyarrow", concurrency=2)
+    keys_tagged = build.map_batches(tag_build, batch_format="pyarrow")
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        present = g.loc[g["l_orderkey"] < 0, "l_partkey"]
+        rows = g[g["l_orderkey"] >= 0]
+        rows = rows[rows["l_partkey"].isin(set(present))]
+        return pd.DataFrame(
+            {
+                "l_orderkey": rows["l_orderkey"].to_numpy(np.int64),
+                "l_linenumber": rows["l_linenumber"].to_numpy(np.int64),
+                "l_partkey": rows["l_partkey"].to_numpy(np.int64),
+            }
+        )
+
+    return (
+        survivors.union(keys_tagged)
+        .groupby("bucket")
+        .map_groups(verify, batch_format="pandas")
+    )
+
+
+SQL_BLOOM_SEMI_JOIN = f"""
+SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem
+WHERE l_partkey IN
+      (SELECT p_partkey FROM part WHERE p_size >= {BLOOM_SIZE_MIN})
+"""
+
+
+# -- per-key first/last (arg-min/arg-max via combinable encoded extremes) -----
+
+_FL_SHIFT = np.int64(1) << np.int64(32)  # orderkey packs below the date
+
+
+def q_first_last_orders(sf_dir: str):
+    """Per customer: order count plus the orderkey of the FIRST and
+    LAST order by (o_orderdate, o_orderkey) — the arg-min/arg-max verb
+    (SQL ``min_by``/``max_by`` with a deterministic tie-break).
+
+    Shape: the textbook COMBINABLE pre-aggregation — each block packs
+    (epoch-day, orderkey) into one int64 (day·2³² + key, exact: day
+    < 2²⁰, key < 2³²), reduces per customer to (min, max, count)
+    partials inside ``map_batches`` (arrow ``group_by`` per block),
+    and a single small ``groupby(o_custkey)`` combines partials with
+    the SAME min/max/sum — associative, so any split of the input
+    yields identical results.  The shuffle carries ≤ |distinct keys|
+    rows per block, not the raw table: the pre-agg IS the scale story.
+    Decode back to orderkey with a bit mask."""
+    import pandas as pd
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t["o_orderdate"], pa.int64()),
+                        pa.scalar(86_400_000_000))
+        ck = pc.add(pc.multiply(day, pa.scalar(int(_FL_SHIFT))),
+                    pc.cast(t["o_orderkey"], pa.int64()))
+        part = (
+            pa.table(
+                {
+                    "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+                    "lo": ck,
+                    "hi": ck,
+                    "n": pa.array(np.ones(t.num_rows, np.int64)),
+                }
+            )
+            .group_by("o_custkey")
+            .aggregate([("lo", "min"), ("hi", "max"), ("n", "sum")])
+        )
+        return pa.table(
+            {
+                "o_custkey": part["o_custkey"],
+                "lo": part["lo_min"],
+                "hi": part["hi_max"],
+                "n": part["n_sum"],
+            }
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        lo = np.int64(g["lo"].min())
+        hi = np.int64(g["hi"].max())
+        mask = _FL_SHIFT - np.int64(1)
+        return pd.DataFrame(
+            {
+                "o_custkey": [np.int64(g["o_custkey"].iloc[0])],
+                "n_orders": [np.int64(g["n"].sum())],
+                "first_orderkey": [lo & mask],
+                "last_orderkey": [hi & mask],
+            }
+        )
+
+    return (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .map_groups(combine, batch_format="pandas")
+    )
+
+
+SQL_FIRST_LAST_ORDERS = f"""
+WITH e AS (
+    SELECT o_custkey,
+           CAST(epoch(o_orderdate) AS BIGINT) // 86400 * {1 << 32}
+               + o_orderkey AS ck
+    FROM orders
+)
+SELECT o_custkey,
+       count(*) AS n_orders,
+       min(ck) % {1 << 32} AS first_orderkey,
+       max(ck) % {1 << 32} AS last_orderkey
+FROM e GROUP BY o_custkey
+"""
+
+
+# -- Pareto frontier (frontier-of-frontiers combinable reduce) ----------------
+
+
+def _frontier(price: np.ndarray, size: np.ndarray) -> np.ndarray:
+    """Boolean mask of the (min price, max size) Pareto frontier.
+
+    A row survives iff no other row is ≤ in price AND ≥ in size with at
+    least one strict.  Vectorized: sort by (price asc, size desc); a row
+    is dominated iff the running size-max over STRICTLY cheaper rows
+    reaches its size, or an equal-price row has strictly larger size
+    (i.e. it is not its price group's max)."""
+    order = np.lexsort((-size, price))
+    p, s = price[order], size[order]
+    # exclusive prefix max of size over strictly-cheaper prices
+    run = np.maximum.accumulate(s)
+    new_price = np.concatenate([[True], p[1:] != p[:-1]])
+    grp = np.cumsum(new_price) - 1  # price-group index per row
+    grp_starts = np.flatnonzero(new_price)
+    before = np.where(
+        grp_starts[grp] > 0, run[np.maximum(grp_starts[grp] - 1, 0)],
+        np.iinfo(np.int64).min,
+    )
+    grp_max = s[grp_starts[grp]]  # sorted size-desc ⇒ group max is first row
+    keep_sorted = (s > before) & (s == grp_max)
+    keep = np.zeros(len(price), bool)
+    keep[order] = keep_sorted
+    return keep
+
+
+def q_pareto_parts(sf_dir: str):
+    """Parts on the (cheapest, largest) Pareto frontier — the skyline
+    verb product-search and data-curation tradeoff filters run.
+
+    Shape: skylines are COMBINABLE — frontier(A ∪ B) =
+    frontier(frontier(A) ∪ frontier(B)) — so each block reduces to its
+    local frontier vectorized (sort + running max, no O(n²)), and one
+    final pass over the union of the tiny local frontiers (≤ |distinct
+    prices| rows each) finishes the job.  The all-pairs work the naive
+    SQL does never happens; at 100 TB the final pass is over a few
+    thousand rows and the combine tree can add levels if ever needed.
+    Ties: duplicate (price, size) points are mutually non-dominating
+    and all kept, exactly like the NOT EXISTS oracle."""
+
+    parts = _read(sf_dir, "part", ["p_partkey", "p_retailprice", "p_size"])
+
+    def local(t: pa.Table) -> pa.Table:
+        price = t["p_retailprice"].to_numpy(zero_copy_only=False)
+        size = t["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # exact-decimal prices: compare in integer tenths-of-cents
+        p_i = np.round(price * 1000).astype(np.int64)
+        keep = _frontier(p_i, size)
+        return pa.table(
+            {
+                "p_partkey": pc.cast(t["p_partkey"], pa.int64()).filter(
+                    pa.array(keep)
+                ),
+                "p_retailprice": t["p_retailprice"].filter(pa.array(keep)),
+                "p_size": pc.cast(t["p_size"], pa.int64()).filter(
+                    pa.array(keep)
+                ),
+            }
+        )
+
+    return (
+        parts.map_batches(local, batch_format="pyarrow")
+        .repartition(1)
+        # batch_size=None ⇒ the single merged block arrives as ONE batch,
+        # so the second pass really is the global frontier
+        .map_batches(local, batch_format="pyarrow", batch_size=None)
+    )
+
+
+SQL_PARETO_PARTS = """
+SELECT p_partkey, p_retailprice, CAST(p_size AS BIGINT) AS p_size
+FROM part p
+WHERE NOT EXISTS (
+    SELECT 1 FROM part q
+    WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+      AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+)
 """

@@ -1225,3 +1225,249 @@ def test_grouped_moments_exact_small(tmp_path):
     assert out.sum_qty2.tolist() == [13, 25]
     assert out.sum_cents.tolist() == [375, 1000]
     assert out.sum_qty_cents.tolist() == [2 * 150 + 3 * 225, 5 * 1000]
+
+
+def test_cumulative_revenue_planted(tmp_path):
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines import relational
+
+    d = datetime.datetime
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "o_custkey": pa.array([7, 7, 7, 8, 8], pa.int64()),
+                "o_totalprice": pa.array([1.00, 2.50, 0.25, 10.0, 5.0]),
+                # order 2 predates order 1; orders 4/5 tie on date → key order
+                "o_orderdate": pa.array(
+                    [d(1995, 3, 2), d(1995, 3, 1), d(1995, 3, 3),
+                     d(1996, 1, 1), d(1996, 1, 1)],
+                    pa.timestamp("us"),
+                ),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    out = (
+        _to_df(relational.q_cumulative_revenue(str(tmp_path)))
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    # cust 7 ordered by date: 2 (250) → 1 (+100=350) → 3 (+25=375)
+    # cust 8 same-date tie by orderkey: 4 (1000) → 5 (+500=1500)
+    assert out.cum_spend_cents.tolist() == [350, 250, 375, 1000, 1500]
+
+
+def test_ntile_uneven_and_fewer_rows_than_tiles(tmp_path, con):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines import relational
+
+    for n in (3, 7):  # n < k and n % k != 0
+        prices = [900.0 + 7 * i for i in range(n)]  # spans several buckets
+        pq.write_table(
+            pa.table(
+                {
+                    "p_partkey": pa.array(list(range(n)), pa.int64()),
+                    "p_retailprice": pa.array(prices),
+                }
+            ),
+            str(tmp_path / "part.parquet"),
+        )
+        out = (
+            _to_df(relational.q_ntile_price(str(tmp_path)))
+            .sort_values("p_partkey")
+            .reset_index(drop=True)
+        )
+        c = duckdb.connect()
+        c.execute(
+            "CREATE VIEW part AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/part.parquet')"
+        )
+        ref = (
+            c.execute(relational.SQL_NTILE_PRICE)
+            .df()
+            .sort_values("p_partkey")
+            .reset_index(drop=True)
+        )
+        assert out.tile.tolist() == ref.tile.astype(int).tolist(), n
+
+
+def test_bloom_semi_join_invariant_under_tiny_filter(tmp_path):
+    """A collision-saturated Bloom filter changes NOTHING: every false
+    positive dies in the exact verify stage (no false negatives exist)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines import relational
+
+    rng = np.random.default_rng(7)
+    n_parts, n_items = 60, 400
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array(list(range(n_parts)), pa.int64()),
+                "p_size": pa.array(
+                    rng.integers(1, 51, n_parts), pa.int32()
+                ),
+            }
+        ),
+        str(tmp_path / "part.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array(list(range(n_items)), pa.int64()),
+                "l_linenumber": pa.array([1] * n_items, pa.int32()),
+                "l_partkey": pa.array(
+                    rng.integers(0, n_parts * 2, n_items), pa.int64()
+                ),  # half the probes miss the build side entirely
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+
+    def run(m_bits):
+        return (
+            _to_df(relational.q_bloom_semi_join(str(tmp_path), m_bits=m_bits))
+            .sort_values(["l_orderkey", "l_linenumber"])
+            .reset_index(drop=True)
+        )
+
+    tiny, default = run(1 << 6), run(None)
+    pd.testing.assert_frame_equal(tiny, default)
+    # and the result is the true semi join
+    parts = pq.read_table(str(tmp_path / "part.parquet")).to_pandas()
+    items = pq.read_table(str(tmp_path / "lineitem.parquet")).to_pandas()
+    big = set(parts.loc[parts.p_size >= relational.BLOOM_SIZE_MIN, "p_partkey"])
+    expect = items[items.l_partkey.isin(big)].sort_values(
+        ["l_orderkey", "l_linenumber"]
+    )
+    assert default.l_orderkey.tolist() == expect.l_orderkey.tolist()
+
+
+def test_bloom_filter_has_no_false_negatives():
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines.relational import (
+        _bloom_bits,
+        _bloom_maybe,
+    )
+
+    rng = np.random.default_rng(3)
+    keys = rng.integers(0, 2**62, 500)
+    m = 1 << 10  # saturated: plenty of collisions
+    bits = _bloom_bits(keys, m)
+    assert _bloom_maybe(keys, bits, m).all()  # members always pass
+    # at a sane size, most non-members are rejected
+    m = 1 << 16
+    bits = _bloom_bits(keys, m)
+    probe = rng.integers(2**62, 2**63, 2000)
+    assert _bloom_maybe(probe, bits, m).mean() < 0.05
+
+
+def test_pareto_frontier_kernel_vs_bruteforce():
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines.relational import _frontier
+
+    rng = np.random.default_rng(11)
+    for trial in range(20):
+        n = int(rng.integers(1, 40))
+        # tiny domains force duplicate points and per-price ties
+        price = rng.integers(0, 6, n).astype(np.int64)
+        size = rng.integers(0, 6, n).astype(np.int64)
+        got = _frontier(price, size)
+        for i in range(n):
+            dominated = any(
+                price[j] <= price[i] and size[j] >= size[i]
+                and (price[j] < price[i] or size[j] > size[i])
+                for j in range(n)
+            )
+            assert got[i] == (not dominated), (trial, i, price, size)
+
+
+def test_mode_event_type_lexicographic_tie_break(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines import events as ev
+
+    pq.write_table(
+        pa.table(
+            {
+                "user_id": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+                "event_type": pa.array(
+                    ["view", "view", "click", "click", "purchase", "error"]
+                ),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    out = (
+        _to_df(ev.q_mode_event_type(str(tmp_path)))
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    # user 1: click and view tie at 2 → 'click' (lexicographically first)
+    # user 2: error and purchase tie at 1 → 'error'
+    assert out.top_type.tolist() == ["click", "error"]
+    assert out.n_events.tolist() == [2, 1]
+
+
+def test_cooccurrence_ignores_repeat_events(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines import events as ev
+
+    pq.write_table(
+        pa.table(
+            {
+                # user 1 clicks five times: the (click,view) pair still
+                # counts ONCE; user 2 shares no pair; user 3 repeats
+                # user 1's pair exactly
+                "user_id": pa.array(
+                    [1, 1, 1, 1, 1, 1, 2, 3, 3], pa.int64()
+                ),
+                "event_type": pa.array(
+                    ["click"] * 5 + ["view", "signup", "view", "click"]
+                ),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    out = (
+        _to_df(ev.q_cooccurrence_types(str(tmp_path)))
+        .sort_values(["type_a", "type_b"])
+        .reset_index(drop=True)
+    )
+    assert out.type_a.tolist() == ["click"]
+    assert out.type_b.tolist() == ["view"]
+    assert out.n_users.tolist() == [2]
+
+
+def test_first_last_orders_same_day_ties(tmp_path):
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines import relational
+
+    d = datetime.datetime(1997, 6, 1)
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([30, 10, 20], pa.int64()),
+                "o_custkey": pa.array([5, 5, 5], pa.int64()),
+                "o_orderdate": pa.array([d, d, d], pa.timestamp("us")),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    out = _to_df(relational.q_first_last_orders(str(tmp_path)))
+    assert out.n_orders.tolist() == [3]
+    assert out.first_orderkey.tolist() == [10]  # smallest key on the tie day
+    assert out.last_orderkey.tolist() == [30]
