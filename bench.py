@@ -173,6 +173,13 @@ QUERY_NAMES = [
     "embedding_norms",
     "above_avg_orders",
     "distinct_users_by_type",
+    "cumulative_revenue",
+    "ntile_price",
+    "bloom_semi_join",
+    "first_last_orders",
+    "pareto_parts",
+    "mode_event_type",
+    "cooccurrence_types",
 ]
 
 
