@@ -142,6 +142,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pareto_parts": relational.q_pareto_parts,
         "mode_event_type": events.q_mode_event_type,
         "cooccurrence_types": events.q_cooccurrence_types,
+        "token_budget_cap": traindata.q_token_budget_cap,
+        "event_transitions": events.q_event_transitions,
+        "activity_histogram": events.q_activity_histogram,
+        "minmax_quality": textpipe.q_minmax_quality,
         # rows-only from here: data-dependent (k-means) or exact
         # reference-semantics oracles run in tests/ instead of SQL
         "knn_ivf": similarity.q_knn_ivf,
@@ -238,4 +242,8 @@ def oracle_sql() -> dict[str, str]:
         "pareto_parts": relational.SQL_PARETO_PARTS,
         "mode_event_type": events.SQL_MODE_EVENT_TYPE,
         "cooccurrence_types": events.SQL_COOCCURRENCE_TYPES,
+        "token_budget_cap": traindata.SQL_TOKEN_BUDGET_CAP,
+        "event_transitions": events.SQL_EVENT_TRANSITIONS,
+        "activity_histogram": events.SQL_ACTIVITY_HISTOGRAM,
+        "minmax_quality": textpipe.SQL_MINMAX_QUALITY,
     }

@@ -180,6 +180,10 @@ QUERY_NAMES = [
     "pareto_parts",
     "mode_event_type",
     "cooccurrence_types",
+    "token_budget_cap",
+    "event_transitions",
+    "activity_histogram",
+    "minmax_quality",
 ]
 
 

@@ -1502,3 +1502,163 @@ FROM d a JOIN d b USING (user_id)
 WHERE a.event_type < b.event_type
 GROUP BY 1, 2
 """
+
+
+# -- event-type transition counts (Markov matrix over per-key sequences) -------
+
+
+def q_event_transitions(sf_dir: str):
+    """How often one event type immediately follows another within a
+    user's (ts, event_id)-ordered stream, summed over all users — the
+    Markov-transition-matrix verb behind sequence mining and next-event
+    models.
+
+    Shape = ``q_event_deltas`` plus a count reduce: users co-bucket by
+    ``user_id & (B-1)`` into ONE size-derived ``groupby(bucket)``; each
+    bucket sorts its own rows once, pairs adjacent events with a
+    shifted-array mask (no per-user loop), and PRE-COUNTS its
+    (prev, next) pairs — so the final ``groupby(prev, next)`` combines
+    ≤ |type alphabet|² rows per bucket, additive integers all the way
+    down ⇒ hash-exact at any batch split."""
+    NB = bucket_count(parquet_rows(f"{sf_dir}/events.parquet"))
+    ev = _events(sf_dir, ["user_id", "ts", "event_id", "event_type"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        k = pc.cast(t["user_id"], pa.int64())
+        return pa.table(
+            {
+                "bucket": pc.cast(
+                    pc.bit_wise_and(k, pa.scalar(NB - 1)), pa.int32()
+                ),
+                "user_id": k,
+                "ts_us": pc.cast(t["ts"], pa.int64()),
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "event_type": t["event_type"],
+            }
+        )
+
+    def pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        ty = g["event_type"].to_numpy(object)
+        if len(g) < 2:
+            return pd.DataFrame(
+                {
+                    "prev_type": pd.Series(dtype=object),
+                    "next_type": pd.Series(dtype=object),
+                    "n": pd.Series(dtype="int64"),
+                }
+            )
+        same = u[1:] == u[:-1]
+        out = (
+            pd.DataFrame({"prev_type": ty[:-1][same],
+                          "next_type": ty[1:][same]})
+            .groupby(["prev_type", "next_type"], as_index=False)
+            .size()
+        )
+        return pd.DataFrame(
+            {
+                "prev_type": out["prev_type"].to_numpy(object),
+                "next_type": out["next_type"].to_numpy(object),
+                "n": out["size"].to_numpy(np.int64),
+            }
+        )
+
+    def merge_counts(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "prev_type": [g["prev_type"].iloc[0]],
+                "next_type": [g["next_type"].iloc[0]],
+                "n": [np.int64(g["n"].sum())],
+            }
+        )
+
+    return (
+        ev.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs_bucket, batch_format="pandas")
+        .groupby(["prev_type", "next_type"])
+        .map_groups(merge_counts, batch_format="pandas")
+    )
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH s AS (
+    SELECT user_id, event_type,
+           lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+    FROM events
+)
+SELECT prev_type, event_type AS next_type, count(*) AS n
+FROM s WHERE prev_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+# -- activity histogram (aggregate of an aggregate, both additive) -------------
+
+
+def q_activity_histogram(sf_dir: str):
+    """How many users produced exactly N events, for every N — the
+    histogram-of-a-groupby verb behind engagement distributions and
+    power-law checks.
+
+    Two additive levels with NO raw-row shuffle: blocks pre-count per
+    user locally (arrow ``group_by``), one size-derived
+    ``groupby(bucket)`` combines each user's partials (buckets
+    partition users, so per-bucket histograms are disjoint) and
+    pre-counts its users per N; the final ``groupby(n_events)`` sums
+    ≤ |distinct N| rows per bucket."""
+    NB = bucket_count(parquet_rows(f"{sf_dir}/events.parquet"))
+    ev = _events(sf_dir, ["user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = pc.cast(t["user_id"], pa.int64())
+        part = (
+            pa.table({"user_id": u,
+                      "n": pa.array(np.ones(t.num_rows, np.int64))})
+            .group_by("user_id")
+            .aggregate([("n", "sum")])
+        )
+        return pa.table(
+            {
+                "bucket": pc.cast(
+                    pc.bit_wise_and(part["user_id"], pa.scalar(NB - 1)),
+                    pa.int32(),
+                ),
+                "user_id": part["user_id"],
+                "n": part["n_sum"],
+            }
+        )
+
+    def hist_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        per_user = g.groupby("user_id", as_index=False)["n"].sum()
+        out = per_user.groupby("n", as_index=False).size()
+        return pd.DataFrame(
+            {
+                "n_events": out["n"].to_numpy(np.int64),
+                "c": out["size"].to_numpy(np.int64),
+            }
+        )
+
+    def merge_counts(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "n_events": [np.int64(g["n_events"].iloc[0])],
+                "n_users": [np.int64(g["c"].sum())],
+            }
+        )
+
+    return (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(hist_bucket, batch_format="pandas")
+        .groupby("n_events")
+        .map_groups(merge_counts, batch_format="pandas")
+    )
+
+
+SQL_ACTIVITY_HISTOGRAM = """
+WITH c AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id)
+SELECT n_events, count(*) AS n_users FROM c GROUP BY n_events
+"""

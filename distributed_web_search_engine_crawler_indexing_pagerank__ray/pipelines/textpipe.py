@@ -824,3 +824,127 @@ GROUP BY 1
 ORDER BY cnt DESC, bigram
 LIMIT {BIGRAM_TOPN}
 """
+
+
+# -- per-group min-max normalization (two-pass broadcast join-back) ------------
+
+
+def q_minmax_quality(sf_dir: str):
+    """Per-language min-max normalization of each document's
+    whitespace-token count — the feature-scaling verb curation and
+    model-input pipelines run before thresholding across groups of
+    different scales.
+
+    Two passes, the ``zscore_outliers`` shape: pass 1 reduces blocks to
+    per-language (min, max) partials (arrow ``group_by`` per block,
+    combinable) and one tiny ``groupby(lang)`` finishes them — the stat
+    table is |langs| rows, broadcast once with ``ray.put``; pass 2
+    normalizes every block vectorized against the shared dict.
+    Exactness: the normalized value is reported in integer
+    parts-per-million — ``(x − min) · 10⁶ // (max − min)`` — so both
+    sides stay in exact int64 arithmetic end to end (a float ratio
+    rounded to 6 decimals would diverge where the two engines'
+    rounding modes split an exact .5, e.g. span = 128); a constant
+    group (max == min) maps to 0 on both sides."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    docs = _docs(sf_dir, columns=("doc_id", "lang", "text"))
+
+    def tok_counts(t: pa.Table) -> pa.Table:
+        # whitespace-run token count, == SQL_QUALITY's n_tokens
+        stripped = pc.utf8_trim_whitespace(
+            pc.coalesce(t["text"].combine_chunks(), pa.scalar(""))
+        )
+        lists = pc.split_pattern_regex(stripped, pattern=r"\s+")
+        n = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        n = np.where(
+            pc.equal(stripped, pa.scalar("")).to_numpy(zero_copy_only=False),
+            0, n,
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "lang": t["lang"],
+                "n_tokens": pa.array(n),
+            }
+        )
+
+    counts = docs.map_batches(tok_counts, batch_format="pyarrow").materialize()
+
+    def stat_partial(t: pa.Table) -> pa.Table:
+        part = (
+            pa.table({"lang": t["lang"], "lo": t["n_tokens"],
+                      "hi": t["n_tokens"]})
+            .group_by("lang")
+            .aggregate([("lo", "min"), ("hi", "max")])
+        )
+        return pa.table(
+            {"lang": part["lang"], "lo": part["lo_min"], "hi": part["hi_max"]}
+        )
+
+    def stat_merge(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "lang": [g["lang"].iloc[0]],
+                "lo": [np.int64(g["lo"].min())],
+                "hi": [np.int64(g["hi"].max())],
+            }
+        )
+
+    stats = (
+        counts.map_batches(stat_partial, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(stat_merge, batch_format="pandas")
+        .to_pandas()
+    )
+    table = {
+        r.lang: (np.int64(r.lo), np.int64(r.hi)) for r in stats.itertuples()
+    }
+    small = ray.put(table)
+
+    class Normalize:
+        def __init__(self):
+            self.table = ray.get(small)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            langs = t["lang"].to_pylist()
+            lo = np.array([self.table[x][0] for x in langs], np.int64)
+            hi = np.array([self.table[x][1] for x in langs], np.int64)
+            x = t["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+            span = hi - lo
+            mm = np.where(
+                span > 0,
+                (x - lo) * 1_000_000 // np.where(span > 0, span, 1),
+                0,
+            ).astype(np.int64)
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "lang": t["lang"],
+                    "n_tokens": t["n_tokens"],
+                    "mm_ppm": pa.array(mm),
+                }
+            )
+
+    return counts.map_batches(Normalize, batch_format="pyarrow", concurrency=2)
+
+
+SQL_MINMAX_QUALITY = r"""
+WITH n AS (
+    SELECT doc_id, lang,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END
+               AS n_tokens
+    FROM documents
+),
+s AS (
+    SELECT lang, min(n_tokens) AS lo, max(n_tokens) AS hi
+    FROM n GROUP BY lang
+)
+SELECT n.doc_id, n.lang, n.n_tokens,
+       CAST(CASE WHEN s.hi = s.lo THEN 0
+                 ELSE (n.n_tokens - s.lo) * 1000000 // (s.hi - s.lo)
+            END AS BIGINT) AS mm_ppm
+FROM n JOIN s USING (lang)
+"""

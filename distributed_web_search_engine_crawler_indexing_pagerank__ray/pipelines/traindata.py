@@ -924,3 +924,111 @@ SELECT d.doc_id,
                 // ({MODEL_WEIGHT_MOD} * a.n), 0) AS score_micro
 FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
 """
+
+
+# -- per-source token budget cap (keyed prefix-scan quota) ---------------------
+
+BUDGET_CAP = 700  # tokens each source may contribute to the mixture
+BUDGET_BUCKET = 1024  # doc_ids per range bucket (bucket index IS doc order)
+
+
+def q_token_budget_cap(sf_dir: str):
+    """Per-source token quota: walking each source's documents in
+    doc_id order, keep a document only while the source's running
+    token total stays within ``BUDGET_CAP`` — the domain-budget verb a
+    training-mixture builder runs so no single source dominates
+    (the reference's appendCapped is the same greedy-quota idea on a
+    KVS row, ``src/kvs/Worker.java`` appendCapped route).
+
+    Distributed shape = ``q_pack_sequences``' prefix scan, PER KEY:
+    tokenize once into a (source, range-bucket, doc_id, n) intermediate
+    (bucket = doc_id // BUDGET_BUCKET, so bucket order IS doc order);
+    phase 1 reduces every (source, bucket) to one token-count scalar
+    and the driver prefix-sums them per source (≤ |sources|·|buckets|
+    scalars); phase 2 re-walks each (source, bucket) group seeded with
+    its predecessors' total — in-group cumsum is one vectorized numpy
+    pass, and rows past the cap drop.  All-integer ⇒ hash-exact vs the
+    SQL window oracle at any batch split."""
+    import ray
+
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+
+    def count_tokens(t: pa.Table) -> pa.Table:
+        parents, _ = _flat_tokens(t, with_tokens=False)
+        ns = np.bincount(parents, minlength=t.num_rows).astype(np.int64)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "source": t["source"],
+                "bucket": pa.array(ids // BUDGET_BUCKET, pa.int64()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "n": pa.array(ns, pa.int64()),
+            }
+        )
+
+    counts = docs.map_batches(count_tokens, batch_format="pyarrow").materialize()
+
+    bm = (
+        counts.groupby(["source", "bucket"])
+        .aggregate(Sum("n", alias_name="s"))
+        .to_pandas()
+        .sort_values(["source", "bucket"])
+    )
+    s = bm["s"].to_numpy(np.int64)
+    cs = np.cumsum(s)
+    src = bm["source"].to_numpy(object)
+    first = np.concatenate([[True], src[1:] != src[:-1]])
+    # exclusive per-source prefix: global cumsum minus each source's base
+    base = np.repeat((cs - s)[first], np.diff(
+        np.concatenate([np.flatnonzero(first), [len(s)]])
+    ))
+    seeds = {
+        (str(a), int(b)): int(p)
+        for a, b, p in zip(src, bm["bucket"], (cs - s) - base)
+    }
+    small = ray.put(seeds)
+
+    def cap_group(g: pd.DataFrame) -> pd.DataFrame:
+        seed = ray.get(small)[
+            (str(g["source"].iloc[0]), int(g["bucket"].iloc[0]))
+        ]
+        g = g.sort_values("doc_id")
+        n = g["n"].to_numpy(np.int64)
+        cum = seed + np.cumsum(n)
+        keep = cum <= BUDGET_CAP
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(np.int64)[keep],
+                "source": g["source"].to_numpy(object)[keep],
+                "n_tokens": n[keep],
+                "cum_tokens": cum[keep],
+            }
+        )
+
+    return counts.groupby(["source", "bucket"]).map_groups(
+        cap_group, batch_format="pandas"
+    )
+
+
+SQL_TOKEN_BUDGET_CAP = f"""
+WITH n AS (
+    SELECT doc_id, source,
+           CAST(len(list_filter(
+               string_split_regex(lower(COALESCE(text, '')), '[^a-z]+'),
+               w -> w <> '' AND length(w) <= {MAX_WORD_LENGTH})) AS BIGINT)
+               AS n_tokens
+    FROM documents
+),
+c AS (
+    SELECT doc_id, source, n_tokens,
+           CAST(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_tokens
+    FROM n
+)
+SELECT doc_id, source, n_tokens, cum_tokens
+FROM c WHERE cum_tokens <= {BUDGET_CAP}
+"""

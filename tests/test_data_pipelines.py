@@ -1471,3 +1471,141 @@ def test_first_last_orders_same_day_ties(tmp_path):
     assert out.n_orders.tolist() == [3]
     assert out.first_orderkey.tolist() == [10]  # smallest key on the tie day
     assert out.last_orderkey.tolist() == [30]
+
+
+def test_token_budget_cap_greedy_boundary(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines import traindata
+
+    # src A: 400 + 300 tokens hit the 700 cap EXACTLY (kept), then a
+    # 1-token doc overflows (dropped, and stays dropped — the budget is
+    # a prefix, not best-fit).  src B never reaches the cap.
+    def words(n):
+        return " ".join(["tok"] * n)
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 10, 11], pa.int64()),
+                "source": pa.array(["A", "A", "A", "B", "B"]),
+                "text": pa.array(
+                    [words(400), words(300), words(1), words(5), words(7)]
+                ),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = (
+        _to_df(traindata.q_token_budget_cap(str(tmp_path)))
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out.doc_id.tolist() == [1, 2, 10, 11]
+    assert out.cum_tokens.tolist() == [400, 700, 5, 12]
+
+
+def test_event_transitions_order_and_ties(tmp_path):
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines import events as ev
+
+    d = datetime.datetime
+    # user 1 rows arrive OUT of time order; events 3/4 tie on ts and
+    # order by event_id: true sequence is view→click→click→purchase
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([4, 1, 3, 2, 9], pa.int64()),
+                "user_id": pa.array([1, 1, 1, 1, 2], pa.int64()),
+                "ts": pa.array(
+                    [d(2024, 1, 2), d(2024, 1, 1), d(2024, 1, 2),
+                     d(2024, 1, 1, 12), d(2024, 1, 1)],
+                    pa.timestamp("us"),
+                ),
+                "event_type": pa.array(
+                    ["purchase", "view", "click", "click", "view"]
+                ),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    out = (
+        _to_df(ev.q_event_transitions(str(tmp_path)))
+        .sort_values(["prev_type", "next_type"])
+        .reset_index(drop=True)
+    )
+    assert list(zip(out.prev_type, out.next_type, out.n)) == [
+        ("click", "click", 1),
+        ("click", "purchase", 1),
+        ("view", "click", 1),
+    ]
+
+
+def test_activity_histogram_counts(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines import events as ev
+
+    pq.write_table(
+        pa.table(
+            {"user_id": pa.array([1, 1, 1, 2, 3, 3, 4], pa.int64())}
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    out = (
+        _to_df(ev.q_activity_histogram(str(tmp_path)))
+        .sort_values("n_events")
+        .reset_index(drop=True)
+    )
+    assert list(zip(out.n_events, out.n_users)) == [(1, 2), (2, 1), (3, 1)]
+
+
+def test_minmax_quality_constant_group_and_pow2_span(tmp_path):
+    """span = 128 is the case where a 6-decimal FLOAT round would split
+    an exact .5 differently in numpy (half-even) vs DuckDB (half-up);
+    the integer-ppm contract sidesteps it — verify vs DuckDB here."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines import textpipe
+
+    def words(n):
+        return " ".join(["w"] * n)
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "lang": pa.array(["en", "en", "en", "de", "de"]),
+                "text": pa.array(
+                    [words(1), words(2), words(129), words(9), words(9)]
+                ),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = (
+        _to_df(textpipe.q_minmax_quality(str(tmp_path)))
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # en: lo=1 hi=129, span 128 → ppm = (x-1)*1e6 // 128
+    assert out.mm_ppm.tolist() == [0, 1_000_000 // 128, 1_000_000, 0, 0]
+    c = duckdb.connect()
+    c.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    ref = (
+        c.execute(textpipe.SQL_MINMAX_QUALITY)
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out.mm_ppm.tolist() == ref.mm_ppm.astype(int).tolist()
