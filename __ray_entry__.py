@@ -146,6 +146,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": events.q_event_transitions,
         "activity_histogram": events.q_activity_histogram,
         "minmax_quality": textpipe.q_minmax_quality,
+        "union_months": relational.q_union_months,
+        "mom_change": relational.q_mom_change,
+        "grouped_regression": relational.q_grouped_regression,
+        "cohort_retention": events.q_cohort_retention,
+        "user_streaks": events.q_user_streaks,
+        "fuzzy_token_join": textpipe.q_fuzzy_token_join,
         # rows-only from here: data-dependent (k-means) or exact
         # reference-semantics oracles run in tests/ instead of SQL
         "knn_ivf": similarity.q_knn_ivf,
@@ -246,4 +252,10 @@ def oracle_sql() -> dict[str, str]:
         "event_transitions": events.SQL_EVENT_TRANSITIONS,
         "activity_histogram": events.SQL_ACTIVITY_HISTOGRAM,
         "minmax_quality": textpipe.SQL_MINMAX_QUALITY,
+        "union_months": relational.SQL_UNION_MONTHS,
+        "mom_change": relational.SQL_MOM_CHANGE,
+        "grouped_regression": relational.SQL_GROUPED_REGRESSION,
+        "cohort_retention": events.SQL_COHORT_RETENTION,
+        "user_streaks": events.SQL_USER_STREAKS,
+        "fuzzy_token_join": textpipe.SQL_FUZZY_TOKEN_JOIN,
     }

@@ -184,6 +184,12 @@ QUERY_NAMES = [
     "event_transitions",
     "activity_histogram",
     "minmax_quality",
+    "union_months",
+    "mom_change",
+    "grouped_regression",
+    "cohort_retention",
+    "user_streaks",
+    "fuzzy_token_join",
 ]
 
 

@@ -1662,3 +1662,195 @@ SQL_ACTIVITY_HISTOGRAM = """
 WITH c AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id)
 SELECT n_events, count(*) AS n_users FROM c GROUP BY n_events
 """
+
+
+# -- cohort retention matrix (first-touch cohort × active-period counts) -------
+
+
+def q_cohort_retention(sf_dir: str):
+    """Cohort retention: users are assigned to the calendar month of
+    their FIRST event (their cohort) and counted once in every month
+    they were active — the cohort × period matrix behind every
+    retention curve.
+
+    Shape: blocks reduce to DISTINCT ``(user_id, month)`` partials
+    (arrow ``group_by`` — per-block dedup before any shuffle); ONE
+    size-derived ``groupby(bucket)`` co-locates each user's months
+    (bucket = ``user_id & (B-1)``), where the cohort is simply the
+    lexicographic MIN month (``%Y-%m`` sorts chronologically) and the
+    bucket pre-counts its (cohort, month) pairs; the final
+    ``groupby(cohort_month, active_month)`` sums ≤ |months|² rows per
+    bucket.  Additive integers end to end ⇒ hash-exact at any split."""
+    NB = bucket_count(parquet_rows(f"{sf_dir}/events.parquet"))
+    ev = _events(sf_dir, ["user_id", "ts"])
+
+    def distinct_months(t: pa.Table) -> pa.Table:
+        part = (
+            pa.table(
+                {
+                    "user_id": pc.cast(t["user_id"], pa.int64()),
+                    "ym": pc.strftime(t["ts"], format="%Y-%m"),
+                }
+            )
+            .group_by(["user_id", "ym"])
+            .aggregate([])
+        )
+        return pa.table(
+            {
+                "bucket": pc.cast(
+                    pc.bit_wise_and(part["user_id"], pa.scalar(NB - 1)),
+                    pa.int32(),
+                ),
+                "user_id": part["user_id"],
+                "ym": part["ym"],
+            }
+        )
+
+    def pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["user_id", "ym"])
+        cohort = d.groupby("user_id")["ym"].min().rename("cohort_month")
+        out = (
+            d.join(cohort, on="user_id")
+            .groupby(["cohort_month", "ym"], as_index=False)
+            .size()
+        )
+        return pd.DataFrame(
+            {
+                "cohort_month": out["cohort_month"].to_numpy(object),
+                "active_month": out["ym"].to_numpy(object),
+                "n": out["size"].to_numpy(np.int64),
+            }
+        )
+
+    def merge_counts(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "cohort_month": [g["cohort_month"].iloc[0]],
+                "active_month": [g["active_month"].iloc[0]],
+                "n_users": [np.int64(g["n"].sum())],
+            }
+        )
+
+    return (
+        ev.map_batches(distinct_months, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs_bucket, batch_format="pandas")
+        .groupby(["cohort_month", "active_month"])
+        .map_groups(merge_counts, batch_format="pandas")
+    )
+
+
+SQL_COHORT_RETENTION = """
+WITH a AS (
+    SELECT DISTINCT user_id, strftime(ts, '%Y-%m') AS active_month
+    FROM events
+),
+f AS (
+    SELECT user_id, min(active_month) AS cohort_month FROM a GROUP BY user_id
+)
+SELECT f.cohort_month, a.active_month, count(*) AS n_users
+FROM a JOIN f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+# -- gaps-and-islands (consecutive-day activity streaks per user) --------------
+
+
+def q_user_streaks(sf_dir: str):
+    """Consecutive-day activity streaks: each user's distinct active
+    days collapse into maximal runs of adjacent days (one row per
+    "island": start, end, length) — the gaps-and-islands verb behind
+    streak features and uptime/session-coverage reports.
+
+    Shape: blocks reduce to DISTINCT ``(user_id, epoch-day)`` integer
+    partials; ONE size-derived ``groupby(bucket)`` co-locates each
+    user's days (buckets partition users, so no island can span two
+    groups), and the in-bucket pass is a sort + ONE vectorized
+    boundary mask (``user changed OR day-gap ≠ 1``) + cumsum island
+    ids + a tiny groupby — no per-user loop.  Day keys ride as int64
+    epoch days; the ISO strings are rendered only on the final ≤
+    |islands| rows."""
+    NB = bucket_count(parquet_rows(f"{sf_dir}/events.parquet"))
+    ev = _events(sf_dir, ["user_id", "ts"])
+
+    def distinct_days(t: pa.Table) -> pa.Table:
+        day = pc.divide(
+            pc.cast(pc.floor_temporal(t["ts"], unit="day"), pa.int64()),
+            pa.scalar(86_400_000_000),
+        )
+        part = (
+            pa.table(
+                {"user_id": pc.cast(t["user_id"], pa.int64()), "day": day}
+            )
+            .group_by(["user_id", "day"])
+            .aggregate([])
+        )
+        return pa.table(
+            {
+                "bucket": pc.cast(
+                    pc.bit_wise_and(part["user_id"], pa.scalar(NB - 1)),
+                    pa.int32(),
+                ),
+                "user_id": part["user_id"],
+                "day": part["day"],
+            }
+        )
+
+    def islands(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["user_id", "day"]).sort_values(
+            ["user_id", "day"]
+        )
+        u = d["user_id"].to_numpy(np.int64)
+        day = d["day"].to_numpy(np.int64)
+        new = np.concatenate(
+            [[True], (u[1:] != u[:-1]) | (day[1:] - day[:-1] != 1)]
+        )
+        isl = np.cumsum(new) - 1
+        out = (
+            pd.DataFrame({"user_id": u, "day": day, "isl": isl})
+            .groupby("isl")
+            .agg(
+                user_id=("user_id", "first"),
+                lo=("day", "min"),
+                hi=("day", "max"),
+                n_days=("day", "size"),
+            )
+        )
+
+        def iso(days: np.ndarray) -> np.ndarray:
+            return np.datetime_as_string(
+                days.astype("datetime64[D]"), unit="D"
+            ).astype(object)
+
+        return pd.DataFrame(
+            {
+                "user_id": out["user_id"].to_numpy(np.int64),
+                "start_day": iso(out["lo"].to_numpy(np.int64)),
+                "end_day": iso(out["hi"].to_numpy(np.int64)),
+                "n_days": out["n_days"].to_numpy(np.int64),
+            }
+        )
+
+    return (
+        ev.map_batches(distinct_days, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(islands, batch_format="pandas")
+    )
+
+
+SQL_USER_STREAKS = """
+WITH d AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+r AS (
+    SELECT user_id, day,
+           row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+    FROM d
+)
+SELECT user_id,
+       strftime(min(day), '%Y-%m-%d') AS start_day,
+       strftime(max(day), '%Y-%m-%d') AS end_day,
+       count(*) AS n_days
+FROM r GROUP BY user_id, day - CAST(rn AS INTEGER)
+"""

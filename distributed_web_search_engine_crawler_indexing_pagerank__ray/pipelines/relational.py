@@ -2252,3 +2252,231 @@ WHERE NOT EXISTS (
       AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
 )
 """
+
+
+# -- union distinct (completes the set-operation family) -----------------------
+
+
+def q_union_months(sf_dir: str):
+    """UNION (distinct) of the calendar months seen in lineitem
+    shipments and in order dates — the set-union verb that completes
+    this module's intersection (`q_intersection`) / difference
+    (`q_except_parts`) family.
+
+    Shape: each side reduces its blocks to per-block DISTINCT month
+    partials (≤ |months| rows per block — the dedup happens before any
+    shuffle), the two partial streams concatenate with ``Dataset.union``
+    (a metadata-only merge, no data movement), and one tiny
+    ``groupby(ym)`` collapses duplicates across blocks AND sides.  At
+    100 TB each side ships only blocks×|months| short strings."""
+    import pandas as pd
+
+    li = _read(sf_dir, "lineitem", ["l_shipdate"])
+    orders = _read(sf_dir, "orders", ["o_orderdate"])
+
+    def months_of(col):
+        def part(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"ym": pc.unique(pc.strftime(t[col], format="%Y-%m"))}
+            )
+
+        return part
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"ym": [g["ym"].iloc[0]]})
+
+    return (
+        li.map_batches(months_of("l_shipdate"), batch_format="pyarrow")
+        .union(orders.map_batches(months_of("o_orderdate"),
+                                  batch_format="pyarrow"))
+        .groupby("ym")
+        .map_groups(first, batch_format="pandas")
+    )
+
+
+SQL_UNION_MONTHS = """
+SELECT strftime(l_shipdate, '%Y-%m') AS ym FROM lineitem
+UNION
+SELECT strftime(o_orderdate, '%Y-%m') AS ym FROM orders
+"""
+
+
+# -- period-over-period delta (lag over an aggregated series) ------------------
+
+
+def q_mom_change(sf_dir: str):
+    """Month-over-month revenue delta per order priority — the
+    period-over-period reporting verb (growth dashboards, regression
+    alerts).
+
+    Shape: the heavy part is a plain partial-agg (blocks pre-sum to
+    ≤ |months|·|priorities| integer-cents partials); the lag itself
+    runs INSIDE a per-priority ``map_groups`` over the already-reduced
+    series (|months| rows — window-over-aggregate, never
+    window-over-raw-rows).  First month lags against 0 (COALESCE on
+    both sides) so every column stays exact int64."""
+    import pandas as pd
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderdate", "o_orderpriority", "o_totalprice"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            pa.table(
+                {
+                    "o_orderpriority": t["o_orderpriority"],
+                    "ym": pc.strftime(t["o_orderdate"], format="%Y-%m"),
+                    "revenue_cents": pc.cast(
+                        pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                        pa.int64(),
+                    ),
+                }
+            )
+            .group_by(["o_orderpriority", "ym"])
+            .aggregate([("revenue_cents", "sum")])
+            .rename_columns(["o_orderpriority", "ym", "revenue_cents"])
+        )
+
+    def lag_series(g: pd.DataFrame) -> pd.DataFrame:
+        s = (
+            g.groupby("ym", as_index=False)["revenue_cents"]
+            .sum()
+            .sort_values("ym")
+        )
+        rev = s["revenue_cents"].to_numpy(np.int64)
+        prev = np.concatenate([[np.int64(0)], rev[:-1]])
+        return pd.DataFrame(
+            {
+                "o_orderpriority": g["o_orderpriority"].iloc[0],
+                "ym": s["ym"].to_numpy(object),
+                "revenue_cents": rev,
+                "prev_cents": prev,
+                "delta_cents": rev - prev,
+            }
+        )
+
+    return (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .map_groups(lag_series, batch_format="pandas")
+    )
+
+
+SQL_MOM_CHANGE = """
+WITH m AS (
+    SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m') AS ym,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM orders GROUP BY 1, 2
+)
+SELECT o_orderpriority, ym, revenue_cents,
+       CAST(COALESCE(lag(revenue_cents) OVER (
+           PARTITION BY o_orderpriority ORDER BY ym), 0) AS BIGINT)
+           AS prev_cents,
+       CAST(revenue_cents - COALESCE(lag(revenue_cents) OVER (
+           PARTITION BY o_orderpriority ORDER BY ym), 0) AS BIGINT)
+           AS delta_cents
+FROM m
+"""
+
+
+# -- grouped linear regression (exact integer moment sums → slope) -------------
+
+
+def q_grouped_regression(sf_dir: str):
+    """Per-group OLS fit: the least-squares slope of quantity on
+    discount (in integer percent points) for each l_returnflag — the
+    per-key model-fit verb behind feature/label drift checks and
+    per-segment trend estimation.
+
+    Shape: identical to `q_grouped_moments` — blocks reduce to the five
+    integer moment sums (n, Σx, Σy, Σx², Σxy) per group, which are
+    additive under any split; the closed-form slope
+    ``(n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)`` is evaluated once per group
+    on the merged sums.  Exactness: the division is TRUNCATING toward
+    zero in micro-units on both engines (DuckDB ``//`` truncates;
+    Python ``//`` floors — they differ on negative numerators, so the
+    Ray side applies |num|//den with the numerator's sign).  Python
+    ints carry the 10⁶-scaled numerator (can exceed int64); the final
+    slope is small.  Bounds note: x ≤ 10, y ≤ 50 keep every SHIPPED
+    sum comfortably inside int64 at ~10¹² rows/group."""
+    import pandas as pd
+
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        y = pc.cast(pc.round(t["l_quantity"]), pa.int64())
+        x = pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)), pa.int64())
+        return (
+            pa.table(
+                {
+                    "l_returnflag": t["l_returnflag"],
+                    "n": pa.array(np.ones(t.num_rows, np.int64)),
+                    "sx": x,
+                    "sy": y,
+                    "sxx": pc.multiply(x, x),
+                    "sxy": pc.multiply(x, y),
+                }
+            )
+            .group_by("l_returnflag")
+            .aggregate([("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+                        ("sxx", "sum"), ("sxy", "sum")])
+            .rename_columns(["l_returnflag", "n", "sx", "sy", "sxx", "sxy"])
+        )
+
+    def fit(g: pd.DataFrame) -> pd.DataFrame:
+        n, sx, sy, sxx, sxy = (
+            int(g[c].sum()) for c in ("n", "sx", "sy", "sxx", "sxy")
+        )
+        num = (n * sxy - sx * sy) * 10**6
+        den = n * sxx - sx * sx
+        if den == 0:
+            slope = 0
+        else:
+            slope = abs(num) // den * (1 if num >= 0 else -1)
+        return pd.DataFrame(
+            {
+                "l_returnflag": [g["l_returnflag"].iloc[0]],
+                "n": [np.int64(n)],
+                "sx": [np.int64(sx)],
+                "sy": [np.int64(sy)],
+                "sxx": [np.int64(sxx)],
+                "sxy": [np.int64(sxy)],
+                "slope_micro": [np.int64(slope)],
+            }
+        )
+
+    return (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .map_groups(fit, batch_format="pandas")
+    )
+
+
+SQL_GROUPED_REGRESSION = """
+WITH s AS (
+    SELECT l_returnflag,
+           count(*) AS n,
+           sum(CAST(round(l_discount * 100) AS BIGINT)) AS sx,
+           sum(CAST(round(l_quantity) AS BIGINT)) AS sy,
+           sum(CAST(round(l_discount * 100) AS BIGINT)
+               * CAST(round(l_discount * 100) AS BIGINT)) AS sxx,
+           sum(CAST(round(l_discount * 100) AS BIGINT)
+               * CAST(round(l_quantity) AS BIGINT)) AS sxy
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n, CAST(sx AS BIGINT) AS sx,
+       CAST(sy AS BIGINT) AS sy, CAST(sxx AS BIGINT) AS sxx,
+       CAST(sxy AS BIGINT) AS sxy,
+       CAST(CASE WHEN CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx = 0
+                 THEN 0
+                 ELSE ((CAST(n AS HUGEINT) * sxy
+                        - CAST(sx AS HUGEINT) * sy) * 1000000)
+                      // (CAST(n AS HUGEINT) * sxx
+                          - CAST(sx AS HUGEINT) * sx)
+            END AS BIGINT) AS slope_micro
+FROM s
+"""

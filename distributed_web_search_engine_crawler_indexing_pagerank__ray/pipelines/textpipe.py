@@ -13,6 +13,7 @@ import math
 
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -947,4 +948,129 @@ SELECT n.doc_id, n.lang, n.n_tokens,
                  ELSE (n.n_tokens - s.lo) * 1000000 // (s.hi - s.lo)
             END AS BIGINT) AS mm_ppm
 FROM n JOIN s USING (lang)
+"""
+
+
+# -- fuzzy string join (SymSpell deletion-key blocking + exact verify) ---------
+
+
+def _edit1(a: str, b: str) -> bool:
+    """True iff levenshtein(a, b) == 1 for distinct a, b (the verify
+    predicate; candidates arrive pre-blocked so |len diff| <= 1)."""
+    la, lb = len(a), len(b)
+    if la == lb:
+        return sum(1 for x, y in zip(a, b) if x != y) == 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    if lb - la != 1:
+        return False
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
+def q_fuzzy_token_join(sf_dir: str):
+    """Fuzzy self-join of the corpus vocabulary: every pair of distinct
+    tokens within edit distance 1 — the similarity-string-join verb
+    behind spell-normalization and near-key entity resolution, done
+    WITHOUT the |V|² cross product.
+
+    Shape (SymSpell deletion blocking): tokens dedup to the vocabulary
+    first (per-block ``pc.unique`` partials → one tiny groupby), then
+    each vocab word expands to its ≤ len+1 single-deletion keys — the
+    expansion loops over character POSITIONS (≤ MAX_WORD_LENGTH arrow
+    slice/concat kernels), not over words.  Two words at distance 1
+    always share a deletion key (delete the edited position), so a
+    ``groupby(key)`` brings every true pair into some tiny bucket;
+    the per-bucket all-pairs verify touches only words sharing a key
+    (the blocking guarantee — worst bucket = one key's neighborhood,
+    never the corpus), and a final pair-groupby dedups pairs that
+    share several keys.  The oracle cross-joins the (tiny, already
+    reduced) vocabulary with DuckDB's ``levenshtein``."""
+    import pandas as pd
+
+    docs = _docs(sf_dir)
+
+    def distinct_words(t: pa.Table) -> pa.Table:
+        _, words = _flat_words(t)
+        return pa.table({"word": pc.unique(words)})
+
+    def first_word(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"word": [g["word"].iloc[0]]})
+
+    vocab = (
+        docs.map_batches(distinct_words, batch_format="pyarrow")
+        .groupby("word")
+        .map_groups(first_word, batch_format="pandas")
+    )
+
+    def expand(t: pa.Table) -> pa.Table:
+        w = t["word"].combine_chunks()
+        if isinstance(w, pa.ChunkedArray):
+            w = w.combine_chunks()
+        ln = pc.utf8_length(w)
+        max_len = pc.max(ln).as_py() if t.num_rows else None
+        keys, words = [w], [w]
+        for i in range(int(max_len or 0)):
+            m = pc.greater(ln, i)
+            wi = pc.filter(w, m)
+            pre = pc.utf8_slice_codeunits(wi, 0, i)
+            suf = pc.utf8_slice_codeunits(wi, i + 1, 1 << 30)
+            keys.append(pc.binary_join_element_wise(pre, suf, ""))
+            words.append(wi)
+        return pa.table(
+            {
+                "key": pa.chunked_array(keys, pa.string()),
+                "word": pa.chunked_array(words, pa.string()),
+            }
+        )
+
+    def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ws = sorted(set(g["word"]))
+        out_a, out_b = [], []
+        for i in range(len(ws)):
+            for j in range(i + 1, len(ws)):
+                if _edit1(ws[i], ws[j]):
+                    out_a.append(ws[i])
+                    out_b.append(ws[j])
+        return pd.DataFrame(
+            {
+                "tok_a": pd.Series(out_a, dtype=object),
+                "tok_b": pd.Series(out_b, dtype=object),
+            }
+        )
+
+    def first_pair(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"tok_a": [g["tok_a"].iloc[0]], "tok_b": [g["tok_b"].iloc[0]]}
+        )
+
+    out = (
+        vocab.map_batches(expand, batch_format="pyarrow")
+        .groupby("key")
+        .map_groups(verify_bucket, batch_format="pandas")
+        .groupby(["tok_a", "tok_b"])
+        .map_groups(first_pair, batch_format="pandas")
+    ).to_pandas()
+    # the deduped pair list is vocab-scale (the reduced small side), so
+    # pandas here is a bounded result, not a raw-data materialize; the
+    # explicit empty frame keeps (tok_a, tok_b) in the schema when the
+    # corpus has no distance-1 pairs (Ray drops all columns on a
+    # zero-row to_pandas, which would break the driver compare)
+    if out.empty:
+        return pd.DataFrame(
+            {
+                "tok_a": pd.Series(dtype=object),
+                "tok_b": pd.Series(dtype=object),
+            }
+        )
+    return out
+
+
+SQL_FUZZY_TOKEN_JOIN = f"""
+WITH tok AS (SELECT DISTINCT word FROM ({SQL_TOK}))
+SELECT a.word AS tok_a, b.word AS tok_b
+FROM tok a JOIN tok b
+  ON a.word < b.word AND levenshtein(a.word, b.word) <= 1
 """

@@ -1609,3 +1609,245 @@ def test_minmax_quality_constant_group_and_pow2_span(tmp_path):
         .reset_index(drop=True)
     )
     assert out.mm_ppm.tolist() == ref.mm_ppm.astype(int).tolist()
+
+
+def test_union_months_dedups_across_sides(tmp_path):
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines import relational
+
+    d = datetime.datetime
+    pq.write_table(
+        pa.table(
+            {
+                "l_shipdate": pa.array(
+                    [d(2024, 1, 5), d(2024, 1, 9), d(2024, 3, 1)],
+                    pa.timestamp("us"),
+                )
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderdate": pa.array(
+                    [d(2024, 1, 2), d(2024, 2, 2)], pa.timestamp("us")
+                )
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    out = _to_df(relational.q_union_months(str(tmp_path)))
+    # 2024-01 appears on BOTH sides and within one side twice → once
+    assert sorted(out.ym) == ["2024-01", "2024-02", "2024-03"]
+
+
+def test_mom_change_first_month_lags_zero(tmp_path):
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines import relational
+
+    d = datetime.datetime
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderdate": pa.array(
+                    [d(2024, 1, 1), d(2024, 2, 1), d(2024, 2, 15),
+                     d(2024, 4, 1)],
+                    pa.timestamp("us"),
+                ),
+                "o_orderpriority": pa.array(["1-URGENT"] * 4),
+                "o_totalprice": pa.array([10.0, 4.0, 6.0, 1.0]),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    out = (
+        _to_df(relational.q_mom_change(str(tmp_path)))
+        .sort_values("ym")
+        .reset_index(drop=True)
+    )
+    # first month lags 0; missing month (2024-03) is NOT filled — the
+    # lag is over the observed series, matching the SQL window
+    assert out.ym.tolist() == ["2024-01", "2024-02", "2024-04"]
+    assert out.revenue_cents.tolist() == [1000, 1000, 100]
+    assert out.prev_cents.tolist() == [0, 1000, 1000]
+    assert out.delta_cents.tolist() == [1000, 0, -900]
+
+
+def test_grouped_regression_negative_slope_truncates_like_duckdb(tmp_path):
+    """Negative numerator is where Python floor (//) and DuckDB
+    truncation diverge — the kernel must truncate toward zero.  Planted
+    series: y = 30 - 2x exactly ⇒ slope_micro = -2_000_000; plus a
+    non-exact group whose slope is a negative non-integer ratio
+    (truncation, not floor, must match DuckDB)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines import relational
+
+    pq.write_table(
+        pa.table(
+            {
+                "l_returnflag": pa.array(["A"] * 3 + ["B"] * 3),
+                # A: (x, y) = (0,30), (5,20), (10,10) → slope exactly -2
+                # B: (0,10), (5,9), (10,7) → slope -3/10 → -300000
+                "l_discount": pa.array([0.0, 0.05, 0.10, 0.0, 0.05, 0.10]),
+                "l_quantity": pa.array([30.0, 20.0, 10.0, 10.0, 9.0, 7.0]),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    out = (
+        _to_df(relational.q_grouped_regression(str(tmp_path)))
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )
+    assert out.slope_micro.tolist() == [-2_000_000, -300_000]
+    c = duckdb.connect()
+    c.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/lineitem.parquet')"
+    )
+    ref = (
+        c.execute(relational.SQL_GROUPED_REGRESSION)
+        .df()
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )
+    assert out.slope_micro.tolist() == ref.slope_micro.astype(int).tolist()
+
+
+def test_cohort_retention_matrix(tmp_path):
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines import events as ev
+
+    d = datetime.datetime
+    # u1 joins Jan, active Jan+Feb; u2 joins Jan (twice that month —
+    # counted once), active Jan only; u3 joins Feb
+    pq.write_table(
+        pa.table(
+            {
+                "user_id": pa.array([1, 1, 2, 2, 3], pa.int64()),
+                "ts": pa.array(
+                    [d(2024, 1, 3), d(2024, 2, 1), d(2024, 1, 5),
+                     d(2024, 1, 20), d(2024, 2, 9)],
+                    pa.timestamp("us"),
+                ),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    out = (
+        _to_df(ev.q_cohort_retention(str(tmp_path)))
+        .sort_values(["cohort_month", "active_month"])
+        .reset_index(drop=True)
+    )
+    assert list(zip(out.cohort_month, out.active_month, out.n_users)) == [
+        ("2024-01", "2024-01", 2),
+        ("2024-01", "2024-02", 1),
+        ("2024-02", "2024-02", 1),
+    ]
+
+
+def test_user_streaks_islands(tmp_path):
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines import events as ev
+
+    d = datetime.datetime
+    # u1: days 1,2,3 then 7,8 (two islands; day 2 hit twice — once);
+    # u2: single day (island of 1); month boundary covered by u3:
+    # Jan 31 → Feb 1 is consecutive
+    pq.write_table(
+        pa.table(
+            {
+                "user_id": pa.array([1, 1, 1, 1, 1, 1, 2, 3, 3], pa.int64()),
+                "ts": pa.array(
+                    [d(2024, 3, 1), d(2024, 3, 2, 5), d(2024, 3, 2, 9),
+                     d(2024, 3, 3), d(2024, 3, 7), d(2024, 3, 8),
+                     d(2024, 5, 5), d(2024, 1, 31), d(2024, 2, 1)],
+                    pa.timestamp("us"),
+                ),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    out = (
+        _to_df(ev.q_user_streaks(str(tmp_path)))
+        .sort_values(["user_id", "start_day"])
+        .reset_index(drop=True)
+    )
+    assert list(
+        zip(out.user_id, out.start_day, out.end_day, out.n_days)
+    ) == [
+        (1, "2024-03-01", "2024-03-03", 3),
+        (1, "2024-03-07", "2024-03-08", 2),
+        (2, "2024-05-05", "2024-05-05", 1),
+        (3, "2024-01-31", "2024-02-01", 2),
+    ]
+
+
+def test_fuzzy_token_join_blocking_catches_every_edit_kind(tmp_path):
+    """Insertion (cat/cart), substitution (cat/bat), deletion covered
+    by symmetry, single letters (a/b share the '' key), and the
+    distance-2 TRAP: 'abx'/'ayb' share deletion key 'ab' but
+    levenshtein = 2 — the verify stage must reject it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines import textpipe
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(["cat cart bat abx q", "ayb r zzzz"]),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = _to_df(textpipe.q_fuzzy_token_join(str(tmp_path)))
+    got = sorted(zip(out.tok_a, out.tok_b))
+    assert got == [("bat", "cat"), ("cart", "cat"), ("q", "r")]
+    c = duckdb.connect()
+    c.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    ref = c.execute(textpipe.SQL_FUZZY_TOKEN_JOIN).df()
+    assert got == sorted(zip(ref.tok_a, ref.tok_b))
+
+
+def test_fuzzy_token_join_empty_corpus_keeps_schema(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines import textpipe
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1], pa.int64()),
+                "text": pa.array(["lonely"]),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = _to_df(textpipe.q_fuzzy_token_join(str(tmp_path)))
+    assert list(out.columns) == ["tok_a", "tok_b"]
+    assert len(out) == 0
