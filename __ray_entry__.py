@@ -152,6 +152,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": events.q_cohort_retention,
         "user_streaks": events.q_user_streaks,
         "fuzzy_token_join": textpipe.q_fuzzy_token_join,
+        "profile_orders": relational.q_profile_orders,
+        "sliding_distinct_users": events.q_sliding_distinct_users,
         # rows-only from here: data-dependent (k-means) or exact
         # reference-semantics oracles run in tests/ instead of SQL
         "knn_ivf": similarity.q_knn_ivf,
@@ -258,4 +260,6 @@ def oracle_sql() -> dict[str, str]:
         "cohort_retention": events.SQL_COHORT_RETENTION,
         "user_streaks": events.SQL_USER_STREAKS,
         "fuzzy_token_join": textpipe.SQL_FUZZY_TOKEN_JOIN,
+        "profile_orders": relational.SQL_PROFILE_ORDERS,
+        "sliding_distinct_users": events.SQL_SLIDING_DISTINCT_USERS,
     }

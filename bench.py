@@ -190,6 +190,8 @@ QUERY_NAMES = [
     "cohort_retention",
     "user_streaks",
     "fuzzy_token_join",
+    "profile_orders",
+    "sliding_distinct_users",
 ]
 
 

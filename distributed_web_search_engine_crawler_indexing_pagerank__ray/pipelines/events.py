@@ -1854,3 +1854,138 @@ SELECT user_id,
        count(*) AS n_days
 FROM r GROUP BY user_id, day - CAST(rn AS INTEGER)
 """
+
+
+# -- sliding-window DISTINCT count (interval-union diff array) -----------------
+
+SLIDE_HOURS = 24  # window length: anchor hour h covers [h-23, h]
+
+
+def q_sliding_distinct_users(sf_dir: str):
+    """Distinct users per sliding 24-hour window (one window anchored
+    at every hour between the first and last active hour) — the
+    sliding-DAU verb.  Unlike a sliding SUM, distinct counts canNOT be
+    combined from tumbling partials (a user active in 3 hours of one
+    window still counts once), which is what makes this its own verb.
+
+    Shape: blocks reduce to DISTINCT ``(user_id, hour)`` partials; ONE
+    size-derived ``groupby(bucket)`` co-locates each user's hours,
+    where a user's covered anchors form the interval union of
+    ``[h, h+23]`` per active hour — merged with one vectorized
+    boundary mask (gap > 23 starts a new island) and emitted as a
+    ±1 DIFF ARRAY (2 rows per island, pre-summed per bucket), never
+    as per-anchor rows (a 24× blowup at scale); the finish is a
+    single prefix-sum over the ≤ |hours|·2 merged deltas.  The global
+    anchor domain [min hour, max hour] comes from a scalar aggregate
+    on the same materialized pair set."""
+    from ray.data.aggregate import Max, Min
+
+    NB = bucket_count(parquet_rows(f"{sf_dir}/events.parquet"))
+    ev = _events(sf_dir, ["user_id", "ts"])
+
+    def distinct_hours(t: pa.Table) -> pa.Table:
+        hr = pc.divide(
+            pc.cast(pc.floor_temporal(t["ts"], unit="hour"), pa.int64()),
+            pa.scalar(3_600_000_000),
+        )
+        part = (
+            pa.table(
+                {"user_id": pc.cast(t["user_id"], pa.int64()), "hr": hr}
+            )
+            .group_by(["user_id", "hr"])
+            .aggregate([])
+        )
+        return pa.table(
+            {
+                "bucket": pc.cast(
+                    pc.bit_wise_and(part["user_id"], pa.scalar(NB - 1)),
+                    pa.int32(),
+                ),
+                "user_id": part["user_id"],
+                "hr": part["hr"],
+            }
+        )
+
+    pairs = ev.map_batches(
+        distinct_hours, batch_format="pyarrow"
+    ).materialize()
+    bounds = pairs.aggregate(Min("hr"), Max("hr"))
+    lo_hr, hi_hr = int(bounds["min(hr)"]), int(bounds["max(hr)"])
+
+    def deltas(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["user_id", "hr"]).sort_values(
+            ["user_id", "hr"]
+        )
+        u = d["user_id"].to_numpy(np.int64)
+        h = d["hr"].to_numpy(np.int64)
+        new = np.concatenate(
+            [[True],
+             (u[1:] != u[:-1]) | (h[1:] - h[:-1] > SLIDE_HOURS - 1)]
+        )
+        isl = np.cumsum(new) - 1
+        starts = h[new]  # first hour of each island ⇒ anchors from here
+        last = np.concatenate([new[1:], [True]])
+        ends = h[last] + SLIDE_HOURS - 1  # last covered anchor
+        out = (
+            pd.DataFrame(
+                {
+                    "hr": np.concatenate([starts, ends + 1]),
+                    "delta": np.concatenate(
+                        [np.ones(len(starts), np.int64),
+                         -np.ones(len(ends), np.int64)]
+                    ),
+                }
+            )
+            .groupby("hr", as_index=False)["delta"]
+            .sum()
+        )
+        return out[out["delta"] != 0]
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().groupby("hr", as_index=False)["delta"].sum()
+        df = df.sort_values("hr")
+        hrs = df["hr"].to_numpy(np.int64)
+        run = np.cumsum(df["delta"].to_numpy(np.int64))
+        # expand the step function over [lo_hr, hi_hr], drop zeros (the
+        # SQL inner join has no row for an empty window)
+        anchors = np.arange(lo_hr, hi_hr + 1, dtype=np.int64)
+        counts = run[
+            np.clip(np.searchsorted(hrs, anchors, side="right") - 1,
+                    0, len(hrs) - 1)
+        ]
+        counts = np.where(anchors < hrs[0], 0, counts)
+        keep = counts > 0
+        ts = (anchors[keep] * 3600).astype("datetime64[s]")
+        return pa.table(
+            {
+                "anchor_hr": pa.array(
+                    np.datetime_as_string(ts, unit="s")
+                    .astype(object),
+                ).cast(pa.string()),
+                "n_users": pa.array(counts[keep], pa.int64()),
+            }
+        )
+
+    return (
+        pairs.groupby("bucket")
+        .map_groups(deltas, batch_format="pandas")
+        .repartition(1)
+        .map_batches(finish, batch_format="pyarrow", batch_size=None)
+    )
+
+
+SQL_SLIDING_DISTINCT_USERS = f"""
+WITH h AS (
+    SELECT DISTINCT user_id, date_trunc('hour', ts) AS hr FROM events
+),
+b AS (SELECT min(hr) AS lo, max(hr) AS hi FROM h),
+w AS (
+    SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS anchor
+    FROM b
+)
+SELECT strftime(w.anchor, '%Y-%m-%dT%H:%M:%S') AS anchor_hr,
+       count(DISTINCT e.user_id) AS n_users
+FROM w JOIN h e
+  ON e.hr BETWEEN w.anchor - INTERVAL {SLIDE_HOURS - 1} HOUR AND w.anchor
+GROUP BY 1
+"""

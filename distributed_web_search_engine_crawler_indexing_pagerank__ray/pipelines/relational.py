@@ -2480,3 +2480,143 @@ SELECT l_returnflag,
             END AS BIGINT) AS slope_micro
 FROM s
 """
+
+
+# -- table profiling sweep (per-column stats in one pass + distinct reduce) ----
+
+PROFILE_COLS = ("o_orderstatus", "o_orderpriority", "o_custkey")
+
+
+def q_profile_orders(sf_dir: str):
+    """Dataset profiler over `orders`: one row per profiled column with
+    (row count, null count, EXACT distinct count, min, max) — the
+    schema-quality sweep every ingestion pipeline runs before training
+    or serving on a new drop.
+
+    Shape: two partial streams, neither ever ships raw rows twice.
+    (1) Stats: each block folds every column to one (col, n, n_null,
+    typed min/max) row — numeric columns keep int64 min/max lanes
+    (string min/max of "10" < "9" would be wrong), string columns keep
+    string lanes; a tiny ``groupby(col_name)`` finishes.  (2) Distinct:
+    per-block ``pc.unique`` partials per column (value space cast to
+    string — injective for ints, so counts are unchanged), the
+    two-level distinct reduce keyed by (col, value) then col.  The
+    driver stitches |cols| scalars.  At 100 TB each stream moves
+    blocks×|cols| (stats) and Σ|col distincts| (distinct) rows."""
+    import pandas as pd
+
+    orders = _read(sf_dir, "orders", list(PROFILE_COLS))
+    I64_MIN, I64_MAX = np.iinfo(np.int64).min, np.iinfo(np.int64).max
+
+    def stat_partial(t: pa.Table) -> pa.Table:
+        rows = {
+            "col_name": [], "n_rows": [], "n_null": [],
+            "min_i": [], "max_i": [], "min_s": [], "max_s": [],
+        }
+        for col in PROFILE_COLS:
+            a = t[col]
+            rows["col_name"].append(col)
+            rows["n_rows"].append(len(a))
+            rows["n_null"].append(a.null_count)
+            if pa.types.is_integer(a.type):
+                rows["min_i"].append(pc.min(a).as_py()
+                                     if len(a) > a.null_count else I64_MAX)
+                rows["max_i"].append(pc.max(a).as_py()
+                                     if len(a) > a.null_count else I64_MIN)
+                rows["min_s"].append(None)
+                rows["max_s"].append(None)
+            else:
+                rows["min_i"].append(I64_MAX)
+                rows["max_i"].append(I64_MIN)
+                rows["min_s"].append(pc.min(a).as_py())
+                rows["max_s"].append(pc.max(a).as_py())
+        return pa.table(
+            {
+                "col_name": pa.array(rows["col_name"], pa.string()),
+                "n_rows": pa.array(rows["n_rows"], pa.int64()),
+                "n_null": pa.array(rows["n_null"], pa.int64()),
+                "min_i": pa.array(rows["min_i"], pa.int64()),
+                "max_i": pa.array(rows["max_i"], pa.int64()),
+                "min_s": pa.array(rows["min_s"], pa.string()),
+                "max_s": pa.array(rows["max_s"], pa.string()),
+            }
+        )
+
+    def stat_merge(g: pd.DataFrame) -> pd.DataFrame:
+        col = g["col_name"].iloc[0]
+        is_num = bool((g["min_i"] != I64_MAX).any())
+        if is_num:
+            mn, mx = str(int(g["min_i"].min())), str(int(g["max_i"].max()))
+        else:
+            mn = g["min_s"].dropna().min()
+            mx = g["max_s"].dropna().max()
+        return pd.DataFrame(
+            {
+                "col_name": [col],
+                "n_rows": [np.int64(g["n_rows"].sum())],
+                "n_null": [np.int64(g["n_null"].sum())],
+                "min_s": [mn],
+                "max_s": [mx],
+            }
+        )
+
+    stats = (
+        orders.map_batches(stat_partial, batch_format="pyarrow")
+        .groupby("col_name")
+        .map_groups(stat_merge, batch_format="pandas")
+        .to_pandas()
+    )
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        cols, vals = [], []
+        for col in PROFILE_COLS:
+            u = pc.unique(pc.drop_null(
+                pc.cast(t[col].combine_chunks(), pa.string())
+            ))
+            cols.append(pa.array([col] * len(u), pa.string()))
+            vals.append(u)
+        return pa.table(
+            {
+                "col_name": pa.chunked_array(cols, pa.string()),
+                "v": pa.chunked_array(vals, pa.string()),
+            }
+        )
+
+    def first_val(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"col_name": [g["col_name"].iloc[0]], "v": [g["v"].iloc[0]]}
+        )
+
+    def count_col(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "col_name": [g["col_name"].iloc[0]],
+                "n_distinct": [np.int64(len(g))],
+            }
+        )
+
+    distinct = (
+        orders.map_batches(distinct_partial, batch_format="pyarrow")
+        .groupby(["col_name", "v"])
+        .map_groups(first_val, batch_format="pandas")
+        .groupby("col_name")
+        .map_groups(count_col, batch_format="pandas")
+        .to_pandas()
+    )
+    # |cols| rows on each side: a driver-side stitch, not a data join
+    return stats.merge(distinct, on="col_name")[
+        ["col_name", "n_rows", "n_null", "n_distinct", "min_s", "max_s"]
+    ]
+
+
+SQL_PROFILE_ORDERS = "\nUNION ALL\n".join(
+    f"""
+SELECT '{col}' AS col_name, count(*) AS n_rows,
+       CAST(sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_null,
+       count(DISTINCT {col}) AS n_distinct,
+       CAST(min({col}) AS VARCHAR) AS min_s,
+       CAST(max({col}) AS VARCHAR) AS max_s
+FROM orders"""
+    for col in PROFILE_COLS
+)

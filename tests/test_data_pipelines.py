@@ -1851,3 +1851,105 @@ def test_fuzzy_token_join_empty_corpus_keeps_schema(tmp_path):
     out = _to_df(textpipe.q_fuzzy_token_join(str(tmp_path)))
     assert list(out.columns) == ["tok_a", "tok_b"]
     assert len(out) == 0
+
+
+def test_profile_orders_numeric_minmax_and_nulls(tmp_path):
+    """custkeys 9 vs 10 is the string-ordering trap ('10' < '9'): the
+    profiler must compare numerically before stringifying; null
+    handling must count nulls and exclude them from min/max/distinct."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines import relational
+
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderstatus": pa.array(["O", None, "F", "O"]),
+                "o_orderpriority": pa.array(
+                    ["1-URGENT", "2-HIGH", "1-URGENT", "1-URGENT"]
+                ),
+                "o_custkey": pa.array([10, 9, None, 10], pa.int64()),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    out = (
+        _to_df(relational.q_profile_orders(str(tmp_path)))
+        .sort_values("col_name")
+        .reset_index(drop=True)
+    )
+    row = out[out.col_name == "o_custkey"].iloc[0]
+    assert (row.n_rows, row.n_null, row.n_distinct) == (4, 1, 2)
+    assert (row.min_s, row.max_s) == ("9", "10")
+    row = out[out.col_name == "o_orderstatus"].iloc[0]
+    assert (row.n_rows, row.n_null, row.n_distinct) == (4, 1, 2)
+    assert (row.min_s, row.max_s) == ("F", "O")
+    c = duckdb.connect()
+    c.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/orders.parquet')"
+    )
+    ref = (
+        c.execute(relational.SQL_PROFILE_ORDERS)
+        .df()
+        .sort_values("col_name")
+        .reset_index(drop=True)
+    )
+    assert out.values.tolist() == ref.values.tolist()
+
+
+def test_sliding_distinct_users_gaps_and_overlap(tmp_path):
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines import events as ev
+
+    d = datetime.datetime
+    # u1 active hours 0 and 5 of Jan 1 (one window island — counted
+    # once per anchor); u2 active hour 0 only; 3-day silence then u1
+    # again (zero-count anchors in between must be DROPPED)
+    pq.write_table(
+        pa.table(
+            {
+                "user_id": pa.array([1, 1, 2, 1], pa.int64()),
+                "ts": pa.array(
+                    [d(2024, 1, 1, 0, 10), d(2024, 1, 1, 5, 59),
+                     d(2024, 1, 1, 0, 30), d(2024, 1, 5, 12)],
+                    pa.timestamp("us"),
+                ),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    out = (
+        _to_df(ev.q_sliding_distinct_users(str(tmp_path)))
+        .sort_values("anchor_hr")
+        .reset_index(drop=True)
+    )
+    # anchors 00:00-23:00 Jan 1 see both users (u1 once despite two
+    # active hours); Jan 2 00:00-04:00 still cover u1's hour-5
+    # activity; then nothing until Jan 5 12:00
+    assert out.anchor_hr.iloc[0] == "2024-01-01T00:00:00"
+    assert out.n_users.iloc[0] == 2
+    assert (
+        out[out.anchor_hr == "2024-01-02T04:00:00"].n_users.iloc[0] == 1
+    )
+    assert "2024-01-02T06:00:00" not in set(out.anchor_hr)  # window empty
+    assert out.anchor_hr.iloc[-1] == "2024-01-05T12:00:00"
+    # cross-check the whole series against DuckDB
+    c = duckdb.connect()
+    c.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    ref = (
+        c.execute(ev.SQL_SLIDING_DISTINCT_USERS)
+        .df()
+        .sort_values("anchor_hr")
+        .reset_index(drop=True)
+    )
+    assert out.anchor_hr.tolist() == ref.anchor_hr.tolist()
+    assert out.n_users.tolist() == ref.n_users.astype(int).tolist()
