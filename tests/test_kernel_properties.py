@@ -365,3 +365,49 @@ def test_doc_token_counts_matches_scalar_tokenizer(texts):
         sub = tbl[tbl.doc == i]
         got = dict(zip(sub.word, (int(c) for c in sub.c)))
         assert got == ref, (i, t, got, ref)
+
+
+def _lev(a: str, b: str) -> int:
+    """Reference DP levenshtein (the DuckDB oracle's semantics)."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+_word = st.text(alphabet="abcde", min_size=1, max_size=8)
+
+
+@settings(max_examples=500, deadline=None)
+@given(a=_word, b=_word)
+def test_edit1_matches_reference_levenshtein(a, b):
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines.textpipe import (
+        _edit1,
+    )
+
+    if a != b:
+        assert _edit1(a, b) == (_lev(a, b) == 1)
+
+
+@settings(max_examples=500, deadline=None)
+@given(a=_word, b=_word)
+def test_deletion_key_blocking_is_complete(a, b):
+    """The fuzzy join's correctness rests on: any two distinct words at
+    levenshtein distance 1 share at least one single-deletion key (the
+    key set `expand` generates: the word itself plus every
+    delete-one-character variant).  Verify the claim exhaustively over
+    random word pairs — a missed pair here would be a silent recall
+    hole in q_fuzzy_token_join."""
+
+    def keys(w):
+        return {w} | {w[:i] + w[i + 1:] for i in range(len(w))}
+
+    if a != b and _lev(a, b) == 1:
+        assert keys(a) & keys(b)
