@@ -154,6 +154,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_token_join": textpipe.q_fuzzy_token_join,
         "profile_orders": relational.q_profile_orders,
         "sliding_distinct_users": events.q_sliding_distinct_users,
+        "pq_encode": similarity.q_pq_encode,
+        "time_weighted_value": events.q_time_weighted_value,
         # rows-only from here: data-dependent (k-means) or exact
         # reference-semantics oracles run in tests/ instead of SQL
         "knn_ivf": similarity.q_knn_ivf,
@@ -262,4 +264,6 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_token_join": textpipe.SQL_FUZZY_TOKEN_JOIN,
         "profile_orders": relational.SQL_PROFILE_ORDERS,
         "sliding_distinct_users": events.SQL_SLIDING_DISTINCT_USERS,
+        "pq_encode": similarity.sql_pq_encode(),
+        "time_weighted_value": events.SQL_TIME_WEIGHTED_VALUE,
     }

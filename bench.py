@@ -192,6 +192,8 @@ QUERY_NAMES = [
     "fuzzy_token_join",
     "profile_orders",
     "sliding_distinct_users",
+    "pq_encode",
+    "time_weighted_value",
 ]
 
 

@@ -1989,3 +1989,104 @@ FROM w JOIN h e
   ON e.hr BETWEEN w.anchor - INTERVAL {SLIDE_HOURS - 1} HOUR AND w.anchor
 GROUP BY 1
 """
+
+
+# -- time-weighted mean (step-function integral per key) -----------------------
+
+
+def q_time_weighted_value(sf_dir: str):
+    """Per-user TIME-weighted mean of `value`: each event's value holds
+    until the user's next event, so the mean weights by holding
+    duration, not by event count — the step-function-integral verb
+    behind billing meters, position-weighted P&L and sensor rollups
+    (a plain AVG over-counts bursts).
+
+    Shape = ``q_event_deltas``: users co-bucket by ``user_id & (B-1)``
+    into ONE size-derived ``groupby(bucket)``; each bucket sorts once,
+    pairs each event with its successor via a shifted mask (no per-user
+    loop), and reduces to per-user integer sums.  Exactness: value in
+    micro-units × duration in whole SECONDS (the µs→s truncation is
+    floor on both engines — epochs are non-negative), numerator ≤
+    5·10⁸·Δspan_s ⇒ int64 holds ~600-year spans; the final division
+    truncates (num ≥ 0 so floor == trunc on both sides).  Users with
+    no successor pair (single event) have zero observed duration and
+    drop, mirroring the SQL's NOT NULL lead filter."""
+    NB = bucket_count(parquet_rows(f"{sf_dir}/events.parquet"))
+    ev = _events(sf_dir, ["user_id", "ts", "event_id", "value"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        k = pc.cast(t["user_id"], pa.int64())
+        return pa.table(
+            {
+                "bucket": pc.cast(
+                    pc.bit_wise_and(k, pa.scalar(NB - 1)), pa.int32()
+                ),
+                "user_id": k,
+                "ts_us": pc.cast(t["ts"], pa.int64()),
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "v_micro": pc.cast(
+                    pc.round(pc.multiply(t["value"], 1_000_000.0)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def twa_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"],
+                          kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        t_s = g["ts_us"].to_numpy(np.int64) // 1_000_000
+        v = g["v_micro"].to_numpy(np.int64)
+        if len(g) < 2:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype="int64"),
+                    "twa_micro": pd.Series(dtype="int64"),
+                    "dur_s": pd.Series(dtype="int64"),
+                }
+            )
+        same = u[1:] == u[:-1]
+        dt = (t_s[1:] - t_s[:-1])[same]
+        agg = (
+            pd.DataFrame(
+                {"user_id": u[:-1][same], "num": v[:-1][same] * dt,
+                 "dur_s": dt}
+            )
+            .groupby("user_id", as_index=False)
+            .sum()
+        )
+        dur = agg["dur_s"].to_numpy(np.int64)
+        num = agg["num"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "user_id": agg["user_id"].to_numpy(np.int64),
+                "twa_micro": np.where(dur > 0, num // np.maximum(dur, 1),
+                                      0).astype(np.int64),
+                "dur_s": dur,
+            }
+        )
+
+    return (
+        ev.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(twa_bucket, batch_format="pandas")
+    )
+
+
+SQL_TIME_WEIGHTED_VALUE = """
+WITH s AS (
+    SELECT user_id,
+           CAST(round(value * 1000000) AS BIGINT) AS v_micro,
+           epoch_us(ts) // 1000000 AS t_s,
+           lead(epoch_us(ts) // 1000000) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS nxt_s
+    FROM events
+)
+SELECT user_id,
+       CAST(CASE WHEN sum(nxt_s - t_s) > 0
+                 THEN sum(v_micro * (nxt_s - t_s)) // sum(nxt_s - t_s)
+                 ELSE 0 END AS BIGINT) AS twa_micro,
+       CAST(sum(nxt_s - t_s) AS BIGINT) AS dur_s
+FROM s WHERE nxt_s IS NOT NULL
+GROUP BY user_id
+"""

@@ -944,3 +944,100 @@ SELECT vec_id,
             'sum') AS BIGINT) AS norm2_q
 FROM embeddings
 """
+
+
+# -- product quantization encode (vector compression codes) --------------------
+
+PQ_SUBDIM = 8  # dims per subspace (subspace s covers d in [8s, 8s+8))
+PQ_CODES = 16  # centroids per subspace (4-bit codes)
+
+
+def q_pq_encode(sf_dir: str):
+    """Product-quantization encoding: every embedding compresses to one
+    4-bit code per 8-dim subspace (64-dim vectors → 8 codes ≈ 32× the
+    compression of float32) — the vector-compression verb ANN systems
+    run before building IVF-PQ indexes over billion-vector corpora
+    (Jégou et al., "Product Quantization for Nearest Neighbor
+    Search", TPAMI 2011).
+
+    Codebook = the same distributed bottom-K hash-sample every flat
+    index here uses (`_bottom_ids(by_hash=True)` — blocks ship 16-byte
+    (key, id) pairs, never vectors), sliced per subspace; assignment is
+    max-inner-product over INTEGER-quantized components (ties → lowest
+    code), so encode is embarrassingly parallel (one broadcast codebook
+    `ray.put`, one matmul per subspace per batch) and bit-exact in the
+    SQL oracle.  Long output (vec_id, sub, code) keeps the schema
+    SQL-comparable."""
+    ids = np.sort(_bottom_ids(sf_dir, PQ_CODES, by_hash=True))
+    df = _fetch_rows_by_id(sf_dir, ids).sort_values("vec_id")
+    cq = np.floor(
+        np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        * float(LSH_QUANT) + 0.5
+    ).astype(np.int64)
+    c_ref = ray.put(cq)
+
+    def encode(t: pa.Table) -> pa.Table:
+        cen = ray.get(c_ref)
+        vids, m = _stack_embeddings(t)
+        if m.size == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "sub": pa.array([], pa.int64()),
+                    "code": pa.array([], pa.int64()),
+                }
+            )
+        mq = np.floor(m * float(LSH_QUANT) + 0.5).astype(np.int64)
+        dim = mq.shape[1]
+        n_sub = (dim + PQ_SUBDIM - 1) // PQ_SUBDIM
+        out_v, out_s, out_c = [], [], []
+        for s in range(n_sub):
+            lo, hi = s * PQ_SUBDIM, min((s + 1) * PQ_SUBDIM, dim)
+            dots = mq[:, lo:hi] @ cen[:, lo:hi].T  # exact int64
+            out_v.append(vids)
+            out_s.append(np.full(len(vids), s, np.int64))
+            out_c.append(np.argmax(dots, axis=1).astype(np.int64))
+        return pa.table(
+            {
+                "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                "sub": pa.array(np.concatenate(out_s), pa.int64()),
+                "code": pa.array(np.concatenate(out_c), pa.int64()),
+            }
+        )
+
+    return _emb(sf_dir).map_batches(encode, batch_format="pyarrow")
+
+
+def sql_pq_encode() -> str:
+    """DuckDB oracle for q_pq_encode — EXACT: same hash-sampled
+    codebook, same integer quantization, same per-subspace integer
+    max-inner-product with ties to the lowest code."""
+    return f"""
+WITH cent_sel AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS code
+  FROM (
+    SELECT vec_id FROM embeddings
+    ORDER BY (vec_id * {KNUTH_MULT}) & 4294967295, vec_id
+    LIMIT {PQ_CODES}
+  )
+), emb AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         floor(unnest(embedding)::DOUBLE * {LSH_QUANT}.0 + 0.5)::BIGINT AS eq
+  FROM embeddings
+), cemb AS (
+  SELECT c.code, e.d, e.eq AS cq
+  FROM emb e JOIN cent_sel c USING (vec_id)
+), dots AS (
+  SELECT e.vec_id, e.d // {PQ_SUBDIM} AS sub, c.code,
+         sum(e.eq * c.cq) AS dot
+  FROM emb e JOIN cemb c ON e.d = c.d
+  GROUP BY 1, 2, 3
+)
+SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
+FROM (
+  SELECT vec_id, sub, code,
+         row_number() OVER (
+             PARTITION BY vec_id, sub ORDER BY dot DESC, code) AS rn
+  FROM dots
+) WHERE rn = 1
+"""

@@ -1953,3 +1953,86 @@ def test_sliding_distinct_users_gaps_and_overlap(tmp_path):
     )
     assert out.anchor_hr.tolist() == ref.anchor_hr.tolist()
     assert out.n_users.tolist() == ref.n_users.astype(int).tolist()
+
+
+def test_pq_encode_ties_and_oracle(tmp_path):
+    """Vectors equal to a codebook entry must take that entry's code;
+    an equidistant vector (tied integer dots) takes the LOWEST code on
+    both engines.  Cross-checked against the DuckDB oracle on a tiny
+    planted table (dim 16 → 2 subspaces)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines import similarity
+
+    dim = 16
+    vecs = {
+        1: [0.3] * 8 + [0.0] * 8,
+        2: [0.0] * 8 + [0.3] * 8,
+        3: [0.3] * 16,          # sub0 ties vec1's block, sub1 ties vec2's
+        4: [-0.3] * 16,
+    }
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(sorted(vecs), pa.int64()),
+                "embedding": pa.array(
+                    [vecs[k] for k in sorted(vecs)],
+                    pa.list_(pa.float64()),
+                ),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    out = (
+        _to_df(similarity.q_pq_encode(str(tmp_path)))
+        .sort_values(["vec_id", "sub"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == 4 * 2  # 4 vectors x 2 subspaces
+    c = duckdb.connect()
+    c.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet')"
+    )
+    ref = (
+        c.execute(similarity.sql_pq_encode())
+        .df()
+        .sort_values(["vec_id", "sub"])
+        .reset_index(drop=True)
+    )
+    assert out.code.tolist() == ref.code.astype(int).tolist()
+    assert out.vec_id.tolist() == ref.vec_id.astype(int).tolist()
+
+
+def test_time_weighted_value_holding_durations(tmp_path):
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines import events as ev
+
+    d = datetime.datetime
+    # u1: value 10 held 100 s, then 20 held 50 s, then a terminal event
+    # (no successor → contributes no weight): twa = 2000/150 = 13.3...
+    # u2: single event → no observed duration → dropped
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2, 3, 9], pa.int64()),
+                "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+                "ts": pa.array(
+                    [d(2024, 1, 1, 0, 0, 0), d(2024, 1, 1, 0, 1, 40),
+                     d(2024, 1, 1, 0, 2, 30), d(2024, 1, 1)],
+                    pa.timestamp("us"),
+                ),
+                "value": pa.array([10.0, 20.0, 999.0, 5.0]),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    out = _to_df(ev.q_time_weighted_value(str(tmp_path)))
+    assert out.user_id.tolist() == [1]
+    assert out.dur_s.tolist() == [150]
+    assert out.twa_micro.tolist() == [(10_000_000 * 100 + 20_000_000 * 50) // 150]
