@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_distinct_users": events.q_sliding_distinct_users,
         "pq_encode": similarity.q_pq_encode,
         "time_weighted_value": events.q_time_weighted_value,
+        "local_supplier_volume": relational.q_local_supplier_volume,
         # rows-only from here: data-dependent (k-means) or exact
         # reference-semantics oracles run in tests/ instead of SQL
         "knn_ivf": similarity.q_knn_ivf,
@@ -266,4 +267,5 @@ def oracle_sql() -> dict[str, str]:
         "sliding_distinct_users": events.SQL_SLIDING_DISTINCT_USERS,
         "pq_encode": similarity.sql_pq_encode(),
         "time_weighted_value": events.SQL_TIME_WEIGHTED_VALUE,
+        "local_supplier_volume": relational.SQL_LOCAL_SUPPLIER_VOLUME,
     }

@@ -194,6 +194,7 @@ QUERY_NAMES = [
     "sliding_distinct_users",
     "pq_encode",
     "time_weighted_value",
+    "local_supplier_volume",
 ]
 
 

@@ -2620,3 +2620,190 @@ SELECT '{col}' AS col_name, count(*) AS n_rows,
 FROM orders"""
     for col in PROFILE_COLS
 )
+
+
+# -- five-table join (TPC-H Q5 shape: local supplier volume) -------------------
+
+Q5_REGION = "ASIA"
+Q5_DATE_LO = "1996-01-01"
+Q5_DATE_HI = "1997-01-01"
+
+
+def q_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5 shape: revenue per nation from orders where the
+    CUSTOMER and the LINEITEM's SUPPLIER sit in the same nation of one
+    region, within one order-date year — the canonical 5-table join
+    (region ⋈ nation ⋈ customer ⋈ orders ⋈ lineitem ⋈ supplier) that
+    exercises a multi-hop dimension chain plus a co-partitioned fact
+    join (ref full scan+join jobs: `src/jobs/` query pipelines do the
+    per-key equivalent on KVS rows).
+
+    Plan for 100 TB: region→nation→(customer, supplier) collapse into
+    TWO broadcast int arrays (custkey→nationkey, suppkey→nationkey,
+    both pruned to the region before ``ray.put``) — three of the five
+    joins never shuffle; the date filter pushes into the orders read;
+    the only exchange is the shared size-derived ``key & (B-1)``
+    orderkey co-bucketing of orders (carrying c_nationkey) against
+    per-block (orderkey, s_nationkey) integer-cents partials of
+    lineitem; the same-nation equality applies inside the bucket and
+    a ≤25-row groupby finishes.  Hot orderkeys salt exactly as
+    `q_revenue_by_segment` (additive cents partials)."""
+    import pandas as pd
+    import pyarrow.dataset as pads
+
+    B = bucket_count(
+        parquet_rows(f"{sf_dir}/orders.parquet", f"{sf_dir}/lineitem.parquet")
+    )
+    S = salt_count()
+
+    nation = _read(sf_dir, "nation").to_pandas()
+    region = _read(sf_dir, "region").to_pandas()
+    rkeys = set(region[region["r_name"] == Q5_REGION]["r_regionkey"])
+    nat = nation[nation["n_regionkey"].isin(rkeys)]
+    nat_names = dict(
+        zip(nat["n_nationkey"].astype(np.int64), nat["n_name"])
+    )
+    nat_set = set(nat_names)
+
+    def keyed_nat(table: str, key: str, natcol: str):
+        df = _read(sf_dir, table, [key, natcol]).to_pandas()
+        df = df[df[natcol].astype(np.int64).isin(nat_set)]
+        return (
+            pa.array(df[key].to_numpy(np.int64), pa.int64()),
+            pa.array(df[natcol].to_numpy(np.int64), pa.int64()),
+        )
+
+    cust_ref = ray.put(keyed_nat("customer", "c_custkey", "c_nationkey"))
+    supp_ref = ray.put(keyed_nat("supplier", "s_suppkey", "s_nationkey"))
+
+    lo = np.datetime64(Q5_DATE_LO).astype("datetime64[us]").astype(object)
+    hi = np.datetime64(Q5_DATE_HI).astype("datetime64[us]").astype(object)
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pads.field("o_orderdate") >= lo)
+        & (pads.field("o_orderdate") < hi),
+    )
+    lineitem = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        keys, nats = ray.get(cust_ref)
+        idx = pc.index_in(t["o_custkey"], value_set=keys)
+        cnat = pc.take(nats, idx)
+        keep = pc.is_valid(cnat)  # customer outside the region → drop
+        k = pc.filter(t["o_orderkey"], keep).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        cnat = pc.filter(cnat, keep)
+        ridx, bucket = _salted_buckets(k, B, S, replicate=True)
+        return pa.table(
+            {
+                "bucket": pa.array(bucket, pa.int32()),
+                "key": pa.array(k[ridx], pa.int64()),
+                "side": pa.array(["o"] * len(ridx), pa.string()),
+                "nat": pc.take(cnat, pa.array(ridx)),
+                "cents": pa.nulls(len(ridx), pa.int64()),
+            }
+        )
+
+    def tag_lineitem(t: pa.Table) -> pa.Table:
+        keys, nats = ray.get(supp_ref)
+        idx = pc.index_in(t["l_suppkey"], value_set=keys)
+        snat = pc.take(nats, idx)
+        keep = pc.is_valid(snat)
+        rev = pc.multiply(
+            t["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), t["l_discount"]),
+        )
+        cents = pc.cast(
+            pc.floor(
+                pc.add(pc.multiply(rev, pa.scalar(100.0)), pa.scalar(0.5))
+            ),
+            pa.int64(),
+        )
+        part = (
+            pa.table(
+                {
+                    "key": pc.filter(t["l_orderkey"], keep),
+                    "nat": pc.filter(snat, keep),
+                    "cents": pc.filter(cents, keep),
+                }
+            )
+            .group_by(["key", "nat"])
+            .aggregate([("cents", "sum")])
+        )
+        k = part["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        _, bucket = _salted_buckets(k, B, S, replicate=False)
+        return pa.table(
+            {
+                "bucket": pa.array(bucket, pa.int32()),
+                "key": pa.array(k, pa.int64()),
+                "side": pa.array(["l"] * part.num_rows, pa.string()),
+                "nat": part["nat"],
+                "cents": part["cents_sum"],
+            }
+        )
+
+    tagged = orders.map_batches(tag_orders, batch_format="pyarrow").union(
+        lineitem.map_batches(tag_lineitem, batch_format="pyarrow")
+    )
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == "o"][["key", "nat"]]
+        right = g[g["side"] == "l"][["key", "nat", "cents"]]
+        m = right.merge(left, on="key", how="inner",
+                        suffixes=("_s", "_c"))
+        m = m[m["nat_s"] == m["nat_c"]]  # same-nation constraint
+        if len(m) == 0:
+            return pd.DataFrame(
+                {"nat": pd.Series(dtype="int64"),
+                 "cents": pd.Series(dtype="int64")}
+            )
+        out = m.groupby("nat_s", as_index=False)["cents"].sum()
+        return pd.DataFrame(
+            {"nat": out["nat_s"].to_numpy(np.int64),
+             "cents": out["cents"].to_numpy(np.int64)}
+        )
+
+    partial = tagged.groupby("bucket").map_groups(
+        join_bucket, batch_format="pandas"
+    )
+    out = partial.groupby("nat").aggregate(Sum("cents", alias_name="c"))
+    names_ref = ray.put(nat_names)
+
+    def finish(t: pa.Table) -> pa.Table:
+        names = ray.get(names_ref)
+        return pa.table(
+            {
+                "n_name": pa.array(
+                    [names[int(x)] for x in t["nat"].to_pylist()],
+                    pa.string(),
+                ),
+                "revenue": pc.round(
+                    pc.divide(pc.cast(t["c"], pa.float64()),
+                              pa.scalar(100.0)),
+                    ndigits=2,
+                ),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_LOCAL_SUPPLIER_VOLUME = f"""
+SELECT n_name,
+       round(CAST(sum(CAST(floor(
+           l_extendedprice * (1 - l_discount) * 100 + 0.5
+       ) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = '{Q5_REGION}'
+  AND o_orderdate >= TIMESTAMP '{Q5_DATE_LO}'
+  AND o_orderdate < TIMESTAMP '{Q5_DATE_HI}'
+GROUP BY n_name
+"""

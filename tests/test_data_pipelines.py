@@ -2036,3 +2036,72 @@ def test_time_weighted_value_holding_durations(tmp_path):
     assert out.user_id.tolist() == [1]
     assert out.dur_s.tolist() == [150]
     assert out.twa_micro.tolist() == [(10_000_000 * 100 + 20_000_000 * 50) // 150]
+
+
+def test_local_supplier_volume_same_nation_and_date_bounds(tmp_path):
+    """The same-nation constraint must drop cross-nation pairs even
+    inside the region, and the date window is [lo, hi) — an order ON
+    the hi boundary is excluded."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines import relational
+
+    d = datetime.datetime
+    pq.write_table(
+        pa.table({"r_regionkey": pa.array([0, 1], pa.int64()),
+                  "r_name": pa.array(["ASIA", "EUROPE"])}),
+        str(tmp_path / "region.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "n_nationkey": pa.array([10, 11, 20], pa.int64()),
+                "n_name": pa.array(["JAPAN", "INDIA", "FRANCE"]),
+                "n_regionkey": pa.array([0, 0, 1], pa.int64()),
+            }
+        ),
+        str(tmp_path / "nation.parquet"),
+    )
+    pq.write_table(
+        pa.table({"c_custkey": pa.array([1, 2], pa.int64()),
+                  "c_nationkey": pa.array([10, 20], pa.int64())}),
+        str(tmp_path / "customer.parquet"),
+    )
+    pq.write_table(
+        pa.table({"s_suppkey": pa.array([5, 6], pa.int64()),
+                  "s_nationkey": pa.array([10, 11], pa.int64())}),
+        str(tmp_path / "supplier.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([100, 101, 102], pa.int64()),
+                "o_custkey": pa.array([1, 1, 2], pa.int64()),
+                "o_orderdate": pa.array(
+                    [d(1996, 6, 1), d(1997, 1, 1), d(1996, 6, 1)],
+                    pa.timestamp("us"),
+                ),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                # o100: JAPAN supplier (match, 10.00) + INDIA supplier
+                # (same region, WRONG nation — dropped);
+                # o101: in-window? no (1997-01-01 excluded);
+                # o102: EUROPE customer — dropped
+                "l_orderkey": pa.array([100, 100, 101, 102], pa.int64()),
+                "l_suppkey": pa.array([5, 6, 5, 5], pa.int64()),
+                "l_extendedprice": pa.array([10.0, 99.0, 50.0, 70.0]),
+                "l_discount": pa.array([0.0, 0.0, 0.0, 0.0]),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    out = _to_df(relational.q_local_supplier_volume(str(tmp_path)))
+    assert list(zip(out.n_name, out.revenue)) == [("JAPAN", 10.0)]
