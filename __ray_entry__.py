@@ -157,6 +157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_encode": similarity.q_pq_encode,
         "time_weighted_value": events.q_time_weighted_value,
         "local_supplier_volume": relational.q_local_supplier_volume,
+        "dup_spans": traindata.q_dup_spans,
         # rows-only from here: data-dependent (k-means) or exact
         # reference-semantics oracles run in tests/ instead of SQL
         "knn_ivf": similarity.q_knn_ivf,
@@ -268,4 +269,5 @@ def oracle_sql() -> dict[str, str]:
         "pq_encode": similarity.sql_pq_encode(),
         "time_weighted_value": events.SQL_TIME_WEIGHTED_VALUE,
         "local_supplier_volume": relational.SQL_LOCAL_SUPPLIER_VOLUME,
+        "dup_spans": traindata.SQL_DUP_SPANS,
     }

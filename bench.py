@@ -195,6 +195,7 @@ QUERY_NAMES = [
     "pq_encode",
     "time_weighted_value",
     "local_supplier_volume",
+    "dup_spans",
 ]
 
 

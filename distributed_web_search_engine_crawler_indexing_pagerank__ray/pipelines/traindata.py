@@ -1032,3 +1032,164 @@ c AS (
 SELECT doc_id, source, n_tokens, cum_tokens
 FROM c WHERE cum_tokens <= {BUDGET_CAP}
 """
+
+
+# -- exact duplicated-substring coverage (Lee et al. 2022 shape) ---------------
+
+
+def q_dup_spans(sf_dir: str):
+    """Exact substring-level self-dedup scan: for every document, how
+    much of it is covered by word 5-grams that ALSO occur in at least
+    one OTHER document — the corpus-level exact-duplicate-span signal
+    of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better"), at word-gram granularity.  Returns one row per
+    document that has at least one cross-document duplicated gram:
+    ``dup_starts`` (number of duplicated gram occurrences) and
+    ``dup_tokens`` (tokens covered by the union of their ±5 spans —
+    the removable mass).
+
+    Shape: one gram-occurrence pass (vectorized tokenize, md5 only per
+    DISTINCT gram in the batch, ``factorize`` to map back) → ONE
+    gram-hash exchange where each bucket holds every occurrence of its
+    grams, so "appears in ≥2 distinct docs" AND the position semi-join
+    resolve in the same task — then a doc-hash exchange for the
+    per-doc interval-union (sorted-diff kernel, no 5× position
+    blow-up).  NB is size-derived from the token estimate (occurrence
+    rows ≈ tokens), bounding per-bucket memory at any corpus size."""
+
+    nb = bucket_count(
+        parquet_token_estimate(f"{sf_dir}/documents.parquet"),
+        min_buckets=NB_FLOOR,
+    )
+
+    _EMPTY_POS = pa.table(
+        {
+            "bucket": pa.array([], pa.int32()),
+            "gh": pa.array([], pa.uint64()),
+            "doc_id": pa.array([], pa.int64()),
+            "pos": pa.array([], pa.int64()),
+        }
+    )
+
+    def gram_positions(t: pa.Table) -> pa.Table:
+        parents, toks = _flat_tokens(t)
+        n = len(toks)
+        if n < GRAM_N:
+            return _EMPTY_POS
+        starts = np.flatnonzero(
+            parents[: n - GRAM_N + 1] == parents[GRAM_N - 1 :]
+        )
+        if len(starts) == 0:
+            return _EMPTY_POS
+        grams = toks[starts].copy()
+        for k in range(1, GRAM_N):
+            grams = grams + " " + toks[starts + k]
+        codes, uniq = pd.factorize(grams)
+        digests = b"".join(hashlib.md5(x.encode()).digest() for x in uniq)
+        uh = (
+            np.frombuffer(digests, dtype=">u8").reshape(-1, 2)[:, 0]
+            .astype(np.uint64)
+        )
+        gh = uh[codes]
+        # doc-relative token position (docs never split across rows)
+        first_idx = np.searchsorted(parents, parents, side="left")
+        pos = (starts - first_idx[starts]).astype(np.int64)
+        all_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        buckets = ((gh >> np.uint64(32)).astype(np.int64) & (nb - 1)).astype(
+            np.int32
+        )
+        return pa.table(
+            {
+                "bucket": pa.array(buckets),
+                "gh": pa.array(gh, pa.uint64()),
+                "doc_id": pa.array(all_ids[parents[starts]], pa.int64()),
+                "pos": pa.array(pos, pa.int64()),
+            }
+        )
+
+    occurrences = _docs(sf_dir).map_batches(
+        gram_positions, batch_format="pyarrow"
+    )
+
+    # per gh-bucket: every occurrence of each gram is here, so the
+    # ≥2-distinct-docs test and the position semi-join are one task
+    def dup_positions(g: pd.DataFrame) -> pa.Table:
+        ndocs = g.groupby("gh")["doc_id"].nunique()
+        dup = ndocs.index[ndocs.to_numpy() >= 2]
+        d = g[g["gh"].isin(dup)]
+        return pa.table(
+            {
+                "doc_id": pa.array(d["doc_id"].to_numpy(np.int64)),
+                "pos": pa.array(d["pos"].to_numpy(np.int64)),
+            }
+        )
+
+    def add_doc_bucket(t: pa.Table) -> pa.Table:
+        db = pc.cast(
+            pc.bit_wise_and(t["doc_id"], pa.scalar(nb - 1)), pa.int32()
+        )
+        return t.append_column("dbucket", db)
+
+    def cover_doc_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["doc_id", "pos"])
+        ids = g["doc_id"].to_numpy(np.int64)
+        pos = g["pos"].to_numpy(np.int64)
+        # interval-union of fixed-length [pos, pos+5) spans per doc:
+        # first span of a doc contributes 5, each next min(gap, 5)
+        new_doc = np.r_[True, ids[1:] != ids[:-1]]
+        gap = np.r_[np.int64(GRAM_N), pos[1:] - pos[:-1]]
+        contrib = np.where(new_doc, GRAM_N, np.minimum(gap, GRAM_N))
+        out = (
+            pd.DataFrame(
+                {"doc_id": ids, "dup_starts": 1, "dup_tokens": contrib}
+            )
+            .groupby("doc_id", as_index=False)
+            .sum()
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"].to_numpy(np.int64)),
+                "dup_starts": pa.array(
+                    out["dup_starts"].to_numpy(np.int64)
+                ),
+                "dup_tokens": pa.array(
+                    out["dup_tokens"].to_numpy(np.int64)
+                ),
+            }
+        )
+
+    return (
+        occurrences.groupby("bucket")
+        .map_groups(dup_positions, batch_format="pandas")
+        .map_batches(add_doc_bucket, batch_format="pyarrow")
+        .groupby("dbucket")
+        .map_groups(cover_doc_bucket, batch_format="pandas")
+    )
+
+
+SQL_DUP_SPANS = f"""
+WITH toks AS ({_SQL_TOKLIST}),
+g AS (
+    SELECT doc_id, i AS pos,
+           array_to_string(l[i:i+{GRAM_N - 1}], ' ') AS gram
+    FROM toks,
+         unnest(generate_series(1, greatest(len(l) - {GRAM_N - 1}, 0)))
+             AS t(i)
+),
+dup AS (
+    SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+),
+hit AS (
+    SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM dup)
+),
+cov AS (
+    SELECT DISTINCT doc_id, pos + o AS p
+    FROM hit, unnest(generate_series(0, {GRAM_N - 1})) AS u(o)
+),
+a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_starts
+      FROM hit GROUP BY doc_id),
+b AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_tokens
+      FROM cov GROUP BY doc_id)
+SELECT a.doc_id, a.dup_starts, b.dup_tokens
+FROM a JOIN b USING (doc_id)
+"""

@@ -2105,3 +2105,42 @@ def test_local_supplier_volume_same_nation_and_date_bounds(tmp_path):
     )
     out = _to_df(relational.q_local_supplier_volume(str(tmp_path)))
     assert list(zip(out.n_name, out.revenue)) == [("JAPAN", 10.0)]
+
+
+def test_dup_spans_within_doc_repeat_excluded_and_union(tmp_path):
+    """A gram repeated only WITHIN one doc is not a duplicate (needs
+    >=2 distinct docs), and overlapping duplicated spans union — they
+    never double-count covered tokens."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines import traindata
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens, 2 grams
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    [
+                        # doc1: shared 6-token run then filler
+                        shared + " one two three four five",
+                        # doc2: same run at a different offset
+                        "pad " + shared + " six seven eight nine ten",
+                        # doc3: a 5-gram repeated twice inside THIS doc
+                        # only — must not count as duplicated
+                        "q w e r t y q w e r t y",
+                    ]
+                ),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = _to_df(traindata.q_dup_spans(str(tmp_path))).sort_values(
+        "doc_id"
+    )
+    # docs 1 and 2 each have 2 duplicated gram starts (positions i,
+    # i+1) whose spans overlap: union = 6 tokens, not 10; doc 3 absent
+    assert out.doc_id.tolist() == [1, 2]
+    assert out.dup_starts.tolist() == [2, 2]
+    assert out.dup_tokens.tolist() == [6, 6]
