@@ -158,6 +158,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "time_weighted_value": events.q_time_weighted_value,
         "local_supplier_volume": relational.q_local_supplier_volume,
         "dup_spans": traindata.q_dup_spans,
+        "percent_rank_price": relational.q_percent_rank_price,
+        "unpivot_revenue": relational.q_unpivot_revenue,
+        "mad_outliers": relational.q_mad_outliers,
         # rows-only from here: data-dependent (k-means) or exact
         # reference-semantics oracles run in tests/ instead of SQL
         "knn_ivf": similarity.q_knn_ivf,
@@ -270,4 +273,7 @@ def oracle_sql() -> dict[str, str]:
         "time_weighted_value": events.SQL_TIME_WEIGHTED_VALUE,
         "local_supplier_volume": relational.SQL_LOCAL_SUPPLIER_VOLUME,
         "dup_spans": traindata.SQL_DUP_SPANS,
+        "percent_rank_price": relational.SQL_PERCENT_RANK_PRICE,
+        "unpivot_revenue": relational.SQL_UNPIVOT_REVENUE,
+        "mad_outliers": relational.SQL_MAD_OUTLIERS,
     }

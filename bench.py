@@ -196,6 +196,9 @@ QUERY_NAMES = [
     "time_weighted_value",
     "local_supplier_volume",
     "dup_spans",
+    "percent_rank_price",
+    "unpivot_revenue",
+    "mad_outliers",
 ]
 
 

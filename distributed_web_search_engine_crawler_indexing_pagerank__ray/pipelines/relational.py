@@ -2807,3 +2807,227 @@ WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
   AND o_orderdate < TIMESTAMP '{Q5_DATE_HI}'
 GROUP BY n_name
 """
+
+
+# -- percent_rank (global CDF rank without a global sort shuffle) -------------
+
+PR_BUCKET_DOLLARS = 5  # price range per value-range partition
+
+
+def q_percent_rank_price(sf_dir: str):
+    """``percent_rank() OVER (ORDER BY p_retailprice)`` for every part —
+    the empirical-CDF verb behind percentile features and calibration
+    curves, without ever totally sorting the table.
+
+    Shape = ``q_ntile_price``: rows value-range-partition by price band
+    (the bucket is a FUNCTION of the sort key, so tied prices can never
+    straddle buckets and the min-rank of a tie group is within-bucket
+    computable), phase 1 reduces each bucket to a count, the driver
+    prefix-sums those ≤ |buckets| scalars plus the grand total, and
+    phase 2 sorts within each bucket only: global RANK (ties → min) =
+    bucket seed + within-bucket min-rank, and
+    ``pr = (rank - 1) / (n - 1)`` — both sides divide the same exact
+    integers in float64, so the result is IEEE-identical to the SQL
+    window.  At 100 TB the bucket histogram comes from a sampled
+    quantile sketch, as in ``q_global_rank``."""
+    import pandas as pd
+
+    parts = _read(sf_dir, "part", ["p_partkey", "p_retailprice"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bucket": pc.cast(
+                    pc.floor(pc.divide(t["p_retailprice"],
+                                       pa.scalar(float(PR_BUCKET_DOLLARS)))),
+                    pa.int64(),
+                ),
+                "p_partkey": pc.cast(t["p_partkey"], pa.int64()),
+                "p_retailprice": t["p_retailprice"],
+            }
+        )
+
+    tagged = parts.map_batches(tag, batch_format="pyarrow").materialize()
+
+    bm = (
+        tagged.groupby("bucket")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    counts = bm["n"].to_numpy(np.int64)
+    n_total = int(counts.sum())
+    prefix = np.concatenate([[np.int64(0)], np.cumsum(counts)[:-1]])
+    seeds = {int(b): int(p) for b, p in zip(bm["bucket"], prefix)}
+    small = ray.put((seeds, n_total))
+
+    def rank_bucket(g: pd.DataFrame) -> pa.Table:
+        seeds_, n = ray.get(small)
+        seed = seeds_[int(g["bucket"].iloc[0])]
+        price = g["p_retailprice"].to_numpy(np.float64)
+        order = np.argsort(price, kind="stable")
+        sp = price[order]
+        # min-rank of each tie group: index of its FIRST occurrence
+        first = np.zeros(len(sp), np.int64)
+        new_grp = np.flatnonzero(sp[1:] != sp[:-1]) + 1
+        first[new_grp] = new_grp
+        np.maximum.accumulate(first, out=first)
+        rank = np.empty(len(sp), np.int64)
+        rank[order] = seed + first + 1
+        pr = (rank - 1) / max(n - 1, 1)
+        return pa.table(
+            {
+                "p_partkey": pa.array(g["p_partkey"].to_numpy(np.int64)),
+                "p_retailprice": pa.array(price),
+                "pr": pa.array(pr, pa.float64()),
+            }
+        )
+
+    return tagged.groupby("bucket").map_groups(
+        rank_bucket, batch_format="pandas"
+    )
+
+
+SQL_PERCENT_RANK_PRICE = """
+SELECT p_partkey, p_retailprice,
+       percent_rank() OVER (ORDER BY p_retailprice) AS pr
+FROM part
+"""
+
+
+# -- unpivot (wide → long reshape of the pivot output) -------------------------
+
+
+def q_unpivot_revenue(sf_dir: str):
+    """UNPIVOT of the ``q_pivot_revenue`` wide table back to long form
+    (``n_name, year, revenue``) — the wide→long reshape that feeds
+    plotting and ML-feature layers, preserving the pivot's explicit
+    zero fill for nation×year cells with no orders.
+
+    The melt is a stateless per-block ``map_batches``: each block of
+    the wide table (bounded by the nation domain) emits |years| rows
+    per input row with vectorized column stacking — no shuffle beyond
+    what the pivot itself already did."""
+    wide = q_pivot_revenue(sf_dir)
+    rev_cols = [f"rev_{y}" for y in PIVOT_YEARS]
+
+    def melt(t: pa.Table) -> pa.Table:
+        k = len(PIVOT_YEARS)
+        names = pa.concat_arrays(
+            [t["n_name"].combine_chunks().cast(pa.string())] * k
+        )
+        years = pa.array(
+            np.repeat(np.array(PIVOT_YEARS, np.int64), t.num_rows)
+        )
+        revs = pa.concat_arrays(
+            [t[c].combine_chunks().cast(pa.float64()) for c in rev_cols]
+        )
+        return pa.table({"n_name": names, "year": years, "revenue": revs})
+
+    return wide.map_batches(melt, batch_format="pyarrow")
+
+
+SQL_UNPIVOT_REVENUE = f"""
+WITH wide AS ({SQL_PIVOT_REVENUE}),
+u AS (UNPIVOT wide ON {", ".join(f"rev_{y}" for y in PIVOT_YEARS)}
+      INTO NAME y VALUE revenue)
+SELECT n_name, CAST(substr(y, 5) AS BIGINT) AS year, revenue FROM u
+"""
+
+
+# -- robust outliers via exact MAD (median absolute deviation) ----------------
+
+MAD_K = 2  # flag rows with |x - median| > MAD_K * MAD
+
+
+def q_mad_outliers(sf_dir: str):
+    """Orders whose total price sits more than ``MAD_K`` median absolute
+    deviations from the median — the robust-statistics sibling of
+    ``q_zscore_outliers`` (median/MAD shrug off the heavy tail that
+    drags a mean/stddev fence).
+
+    Both medians are EXACT discrete quantiles (``quantile_disc``: the
+    element at index ``floor((n-1)/2)`` of the sorted multiset), found
+    without sorting rows: blocks reduce to per-distinct-value count
+    partials in integer cents, one tiny ``groupby(cents)`` merges them
+    (the histogram is bounded by the price DOMAIN, not the row count),
+    and the driver walks cumulative counts to the median element, then
+    re-keys the same histogram by |v − median| for the MAD — rows are
+    touched exactly twice (histogram pass + final filter), both
+    streaming.  For an unbounded value domain at 100 TB the same
+    protocol runs with two rounds of range-narrowing (count-below
+    partials against candidate pivots) instead of a full histogram."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def hist(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(t["o_totalprice"], pa.scalar(100.0)),
+                            pa.scalar(0.5))),
+            pa.int64(),
+        )
+        g = (
+            pa.table({"cents": cents,
+                      "n": pa.array(np.ones(len(cents), np.int64))})
+            .group_by("cents")
+            .aggregate([("n", "sum")])
+        )
+        return g.rename_columns(["cents", "n"])
+
+    hdf = (
+        orders.map_batches(hist, batch_format="pyarrow")
+        .groupby("cents")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # bounded by the distinct-price domain
+        .sort_values("cents")
+    )
+    vals = hdf["cents"].to_numpy(np.int64)
+    cnts = hdf["n"].to_numpy(np.int64)
+    n = int(cnts.sum())
+
+    def disc_median(v: np.ndarray, c: np.ndarray, total: int) -> int:
+        idx = (total - 1) // 2  # floor((n-1) * 0.5)
+        return int(v[np.searchsorted(np.cumsum(c), idx + 1)])
+
+    med = disc_median(vals, cnts, n)
+    dev = np.abs(vals - med)
+    order = np.argsort(dev, kind="stable")
+    # deviations collide (v below and above the median) — re-merge
+    dsorted, start = np.unique(dev[order], return_index=True)
+    dcounts = np.add.reduceat(cnts[order], start)
+    mad = disc_median(dsorted, dcounts, n)
+    fence = ray.put((med, MAD_K * mad))
+
+    def flag(t: pa.Table) -> pa.Table:
+        med_, cut = ray.get(fence)
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(t["o_totalprice"], pa.scalar(100.0)),
+                            pa.scalar(0.5))),
+            pa.int64(),
+        )
+        dev_ = pc.abs(pc.subtract(cents, pa.scalar(med_, pa.int64())))
+        keep = pc.greater(dev_, pa.scalar(cut, pa.int64()))
+        return pa.table(
+            {
+                "o_orderkey": pc.filter(pc.cast(t["o_orderkey"], pa.int64()),
+                                        keep),
+                "o_totalprice": pc.filter(t["o_totalprice"], keep),
+                "dev_cents": pc.filter(dev_, keep),
+            }
+        )
+
+    return orders.map_batches(flag, batch_format="pyarrow")
+
+
+SQL_MAD_OUTLIERS = f"""
+WITH c AS (
+  SELECT o_orderkey, o_totalprice,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+m AS (SELECT quantile_disc(cents, 0.5) AS med FROM c),
+d AS (SELECT quantile_disc(abs(cents - m.med), 0.5) AS mad FROM c, m)
+SELECT o_orderkey, o_totalprice,
+       CAST(abs(cents - med) AS BIGINT) AS dev_cents
+FROM c, m, d
+WHERE abs(cents - med) > {MAD_K} * mad
+"""

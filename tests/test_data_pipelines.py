@@ -2144,3 +2144,72 @@ def test_dup_spans_within_doc_repeat_excluded_and_union(tmp_path):
     assert out.doc_id.tolist() == [1, 2]
     assert out.dup_starts.tolist() == [2, 2]
     assert out.dup_tokens.tolist() == [6, 6]
+
+
+def test_percent_rank_ties_share_min_rank(tmp_path):
+    """Tied prices take the MIN rank (SQL RANK semantics), including a
+    tie group that fills an entire price bucket, and pr spans [0, 1]."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines import relational
+
+    #            ranks: 1  1  3  4  4  4  7
+    prices = [10.0, 10.0, 30.0, 41.0, 41.0, 41.0, 55.0]
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array(list(range(7)), pa.int64()),
+                "p_retailprice": pa.array(prices),
+            }
+        ),
+        str(tmp_path / "part.parquet"),
+    )
+    out = (
+        _to_df(relational.q_percent_rank_price(str(tmp_path)))
+        .sort_values("p_partkey")
+        .reset_index(drop=True)
+    )
+    exp = [(r - 1) / 6 for r in (1, 1, 3, 4, 4, 4, 7)]
+    assert out.pr.tolist() == exp
+    assert out.pr.min() == 0.0 and out.pr.max() == 1.0
+
+
+def test_unpivot_keeps_zero_filled_cells(con):
+    """Every nation appears with ALL seven year rows — cells the pivot
+    zero-filled survive the melt (a plain GROUP BY would drop them)."""
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines import relational
+
+    out = _to_df(relational.q_unpivot_revenue(SF))
+    per_nation = out.groupby("n_name")["year"].agg(["count", "min", "max"])
+    assert (per_nation["count"] == len(relational.PIVOT_YEARS)).all()
+    assert (per_nation["min"] == relational.PIVOT_YEARS[0]).all()
+    assert (per_nation["max"] == relational.PIVOT_YEARS[-1]).all()
+    assert (out["revenue"] == 0).any()  # at least one genuinely empty cell
+
+
+def test_mad_outliers_planted_even_count_and_dev_collision(tmp_path):
+    """Even-count median picks the LOWER element (quantile_disc), and
+    deviations from BOTH sides of the median merge before the MAD pick."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines import relational
+
+    # cents: 100 200 300 400 500 900 → median = lower mid = 300
+    # devs:  200 100   0 100 200 600 → sorted 0 100 100 200 200 600
+    #                                   MAD = element idx 2 = 100
+    # fence = 2 * 100 = 200 → outlier iff dev > 200 → only 900 (dev 600)
+    prices = [1.00, 2.00, 3.00, 4.00, 5.00, 9.00]
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(list(range(1, 7)), pa.int64()),
+                "o_totalprice": pa.array(prices),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    out = _to_df(relational.q_mad_outliers(str(tmp_path)))
+    assert out.o_orderkey.tolist() == [6]
+    assert out.dev_cents.tolist() == [600]
