@@ -686,20 +686,21 @@ def q_revenue_by_segment(sf_dir: str):
         return out.astype({"cents": "int64"})
 
     partial = tagged.groupby("bucket").map_groups(join_bucket, batch_format="pandas")
-    out = partial.groupby("segment").aggregate(Sum("cents", alias_name="c"))
-
-    def finish(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "c_mktsegment": t["segment"],
-                "revenue": pc.round(
-                    pc.divide(pc.cast(t["c"], pa.float64()), pa.scalar(100.0)),
-                    ndigits=2,
-                ),
-            }
-        )
-
-    return out.map_batches(finish, batch_format="pyarrow")
+    # final merge on the driver: the partial is ≤ B × |segments| additive
+    # rows (domain-bounded, NOT data-sized), so a second sort-shuffle
+    # for the ≤5-group aggregate would cost more in barrier/scheduling
+    # than the whole join — same discipline as q_rollup_revenue's leaf.
+    pdf = partial.to_pandas()
+    agg = pdf.groupby("segment", as_index=False)["cents"].sum()
+    return pa.table(
+        {
+            "c_mktsegment": pa.array(agg["segment"], pa.string()),
+            "revenue": pa.array(
+                (agg["cents"].to_numpy(np.int64) / 100.0).round(2),
+                pa.float64(),
+            ),
+        }
+    )
 
 
 SQL_REVENUE_BY_SEGMENT = """
@@ -2100,15 +2101,18 @@ def q_first_last_orders(sf_dir: str):
     (epoch-day, orderkey) into one int64 (day·2³² + key, exact: day
     < 2²⁰, key < 2³²), reduces per customer to (min, max, count)
     partials inside ``map_batches`` (arrow ``group_by`` per block),
-    and a single small ``groupby(o_custkey)`` combines partials with
-    the SAME min/max/sum — associative, so any split of the input
-    yields identical results.  The shuffle carries ≤ |distinct keys|
+    and ONE size-derived hash-bucket exchange combines partials with
+    the SAME min/max/sum, vectorized across the whole bucket (one
+    pandas groupby per bucket, not one Python call per customer) —
+    associative, so any split of the input yields identical results.  The shuffle carries ≤ |distinct keys|
     rows per block, not the raw table: the pre-agg IS the scale story.
     Decode back to orderkey with a bit mask."""
     import pandas as pd
 
     orders = _read(sf_dir, "orders",
                    ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    B = bucket_count(parquet_rows(f"{sf_dir}/orders.parquet"))
 
     def partial(t: pa.Table) -> pa.Table:
         day = pc.divide(pc.cast(t["o_orderdate"], pa.int64()),
@@ -2127,8 +2131,12 @@ def q_first_last_orders(sf_dir: str):
             .group_by("o_custkey")
             .aggregate([("lo", "min"), ("hi", "max"), ("n", "sum")])
         )
+        keys = part["o_custkey"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
+                "bucket": pa.array(
+                    (keys.astype(np.int64) & (B - 1)).astype(np.int32)
+                ),
                 "o_custkey": part["o_custkey"],
                 "lo": part["lo_min"],
                 "hi": part["hi_max"],
@@ -2136,23 +2144,30 @@ def q_first_last_orders(sf_dir: str):
             }
         )
 
-    def combine(g: pd.DataFrame) -> pd.DataFrame:
-        lo = np.int64(g["lo"].min())
-        hi = np.int64(g["hi"].max())
-        mask = _FL_SHIFT - np.int64(1)
-        return pd.DataFrame(
+    def combine_bucket(g: pd.DataFrame) -> pa.Table:
+        # VECTORIZED combine over the whole hash bucket — one pandas
+        # groupby per ~rows/B customers, not one Python call per group
+        gr = g.groupby("o_custkey", as_index=False).agg(
+            lo=("lo", "min"), hi=("hi", "max"), n=("n", "sum")
+        )
+        mask = np.int64(_FL_SHIFT - 1)
+        return pa.table(
             {
-                "o_custkey": [np.int64(g["o_custkey"].iloc[0])],
-                "n_orders": [np.int64(g["n"].sum())],
-                "first_orderkey": [lo & mask],
-                "last_orderkey": [hi & mask],
+                "o_custkey": pa.array(gr["o_custkey"].to_numpy(np.int64)),
+                "n_orders": pa.array(gr["n"].to_numpy(np.int64)),
+                "first_orderkey": pa.array(
+                    gr["lo"].to_numpy(np.int64) & mask
+                ),
+                "last_orderkey": pa.array(
+                    gr["hi"].to_numpy(np.int64) & mask
+                ),
             }
         )
 
     return (
         orders.map_batches(partial, batch_format="pyarrow")
-        .groupby("o_custkey")
-        .map_groups(combine, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(combine_bucket, batch_format="pandas")
     )
 
 
@@ -2282,15 +2297,17 @@ def q_union_months(sf_dir: str):
 
         return part
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"ym": [g["ym"].iloc[0]]})
-
-    return (
+    # the partial stream is blocks × |distinct months| rows (domain-
+    # bounded: ≤ a few hundred calendar months even at 100 TB), so the
+    # final distinct is a driver dedup, not a sort-shuffle
+    pdf = (
         li.map_batches(months_of("l_shipdate"), batch_format="pyarrow")
         .union(orders.map_batches(months_of("o_orderdate"),
                                   batch_format="pyarrow"))
-        .groupby("ym")
-        .map_groups(first, batch_format="pandas")
+        .to_pandas()
+    )
+    return pa.table(
+        {"ym": pa.array(sorted(pdf["ym"].unique()), pa.string())}
     )
 
 
@@ -2560,11 +2577,14 @@ def q_profile_orders(sf_dir: str):
             }
         )
 
-    stats = (
-        orders.map_batches(stat_partial, batch_format="pyarrow")
-        .groupby("col_name")
-        .map_groups(stat_merge, batch_format="pandas")
-        .to_pandas()
+    # the stats partial stream is blocks × |cols| rows — merge it on
+    # the driver instead of paying a sort-shuffle for |cols| groups
+    stat_pdf = orders.map_batches(
+        stat_partial, batch_format="pyarrow"
+    ).to_pandas()
+    stats = pd.concat(
+        [stat_merge(g) for _, g in stat_pdf.groupby("col_name", sort=False)],
+        ignore_index=True,
     )
 
     def distinct_partial(t: pa.Table) -> pa.Table:
@@ -2587,21 +2607,32 @@ def q_profile_orders(sf_dir: str):
             {"col_name": [g["col_name"].iloc[0]], "v": [g["v"].iloc[0]]}
         )
 
-    def count_col(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "col_name": [g["col_name"].iloc[0]],
-                "n_distinct": [np.int64(len(g))],
-            }
+    def count_partial(t: pa.Table) -> pa.Table:
+        # per-block (col, n) count partials over the deduped (col, v)
+        # stream — additive, so the final per-col sum is a driver
+        # stitch of blocks × |cols| scalars, not a second shuffle
+        g = (
+            pa.table(
+                {
+                    "col_name": t["col_name"],
+                    "n": pa.array(np.ones(t.num_rows, np.int64)),
+                }
+            )
+            .group_by("col_name")
+            .aggregate([("n", "sum")])
         )
+        return g.rename_columns(["col_name", "n"])
 
     distinct = (
         orders.map_batches(distinct_partial, batch_format="pyarrow")
         .groupby(["col_name", "v"])
         .map_groups(first_val, batch_format="pandas")
-        .groupby("col_name")
-        .map_groups(count_col, batch_format="pandas")
+        .map_batches(count_partial, batch_format="pyarrow")
         .to_pandas()
+        .groupby("col_name", as_index=False)["n"]
+        .sum()
+        .rename(columns={"n": "n_distinct"})
+        .astype({"n_distinct": "int64"})
     )
     # |cols| rows on each side: a driver-side stitch, not a data join
     return stats.merge(distinct, on="col_name")[
@@ -2771,26 +2802,22 @@ def q_local_supplier_volume(sf_dir: str):
     partial = tagged.groupby("bucket").map_groups(
         join_bucket, batch_format="pandas"
     )
-    out = partial.groupby("nat").aggregate(Sum("cents", alias_name="c"))
-    names_ref = ray.put(nat_names)
-
-    def finish(t: pa.Table) -> pa.Table:
-        names = ray.get(names_ref)
-        return pa.table(
-            {
-                "n_name": pa.array(
-                    [names[int(x)] for x in t["nat"].to_pylist()],
-                    pa.string(),
-                ),
-                "revenue": pc.round(
-                    pc.divide(pc.cast(t["c"], pa.float64()),
-                              pa.scalar(100.0)),
-                    ndigits=2,
-                ),
-            }
-        )
-
-    return out.map_batches(finish, batch_format="pyarrow")
+    # final merge on the driver: ≤ B × |region nations| additive rows
+    # (domain-bounded) — a second sort-shuffle for a ≤25-group
+    # aggregate would dominate the query in barrier/scheduling cost.
+    pdf = partial.to_pandas()
+    agg = pdf.groupby("nat", as_index=False)["cents"].sum()
+    return pa.table(
+        {
+            "n_name": pa.array(
+                [nat_names[int(x)] for x in agg["nat"]], pa.string()
+            ),
+            "revenue": pa.array(
+                (agg["cents"].to_numpy(np.int64) / 100.0).round(2),
+                pa.float64(),
+            ),
+        }
+    )
 
 
 SQL_LOCAL_SUPPLIER_VOLUME = f"""

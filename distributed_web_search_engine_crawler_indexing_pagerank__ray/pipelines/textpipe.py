@@ -884,20 +884,13 @@ def q_minmax_quality(sf_dir: str):
             {"lang": part["lang"], "lo": part["lo_min"], "hi": part["hi_max"]}
         )
 
-    def stat_merge(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "lang": [g["lang"].iloc[0]],
-                "lo": [np.int64(g["lo"].min())],
-                "hi": [np.int64(g["hi"].max())],
-            }
-        )
-
+    # blocks × |langs| partial rows — merge on the driver rather than
+    # paying a sort-shuffle for a handful of language groups
     stats = (
         counts.map_batches(stat_partial, batch_format="pyarrow")
-        .groupby("lang")
-        .map_groups(stat_merge, batch_format="pandas")
         .to_pandas()
+        .groupby("lang", as_index=False)
+        .agg(lo=("lo", "min"), hi=("hi", "max"))
     )
     table = {
         r.lang: (np.int64(r.lo), np.int64(r.hi)) for r in stats.itertuples()
