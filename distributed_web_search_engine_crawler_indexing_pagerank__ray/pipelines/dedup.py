@@ -361,15 +361,16 @@ def _verify_candidate_pairs(sf_dir: str, cand, shingle_k: int, threshold: float)
     # driver-held (ids only) ONLY while bounded; see docstring
     broadcast_ids = 2 * n_pairs <= DEDUP_IDSET_DRIVER_MAX
 
-    def pair_ids(t: pa.Table) -> pa.Table:
-        both = pa.concat_arrays(
-            [t["doc_a"].combine_chunks(), t["doc_b"].combine_chunks()]
-        )
-        return pa.table({"doc_id": pc.unique(both)})
-
     if broadcast_ids:
-        ids = sorted(
-            uniq.map_batches(pair_ids, batch_format="pyarrow").unique("doc_id")
+        # the pairs table is ≤ DEDUP_IDSET_DRIVER_MAX/2 rows by the
+        # gate above — dedupe ids on the driver instead of paying a
+        # Dataset.unique() aggregate shuffle for it
+        pdf = uniq.to_pandas()
+        ids = np.unique(
+            np.concatenate(
+                [pdf["doc_a"].to_numpy(np.int64),
+                 pdf["doc_b"].to_numpy(np.int64)]
+            )
         )
         ids_ref = ray.put(pa.array(ids, pa.int64()))
     else:
@@ -1203,15 +1204,15 @@ def _verify_candidate_pairs_embedding(sf_dir: str, cand):
         )
     broadcast_ids = 2 * n_pairs <= DEDUP_IDSET_DRIVER_MAX
 
-    def pair_ids(t: pa.Table) -> pa.Table:
-        both = pa.concat_arrays(
-            [t["doc_a"].combine_chunks(), t["doc_b"].combine_chunks()]
-        )
-        return pa.table({"vec_id": pc.unique(both)})
-
     if broadcast_ids:
-        ids = sorted(
-            uniq.map_batches(pair_ids, batch_format="pyarrow").unique("vec_id")
+        # pairs ≤ DEDUP_IDSET_DRIVER_MAX/2 by the gate — driver dedupe,
+        # no Dataset.unique() aggregate shuffle
+        pdf = uniq.to_pandas()
+        ids = np.unique(
+            np.concatenate(
+                [pdf["doc_a"].to_numpy(np.int64),
+                 pdf["doc_b"].to_numpy(np.int64)]
+            )
         )
         ids_ref = ray.put(pa.array(ids, pa.int64()))
     else:

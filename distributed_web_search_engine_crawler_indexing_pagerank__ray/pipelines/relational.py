@@ -24,8 +24,10 @@ from ..functions.partitioning import (
 from ray.data.aggregate import Count, Mean, Sum
 
 
-def _read(sf_dir: str, table: str, columns=None):
-    return read_parquet_clean(f"{sf_dir}/{table}.parquet", columns=columns)
+def _read(sf_dir: str, table: str, columns=None, **kwargs):
+    return read_parquet_clean(
+        f"{sf_dir}/{table}.parquet", columns=columns, **kwargs
+    )
 
 
 # -- #8 filter + #3 projection (vectorized predicate in map_batches) ---------
@@ -2522,7 +2524,16 @@ def q_profile_orders(sf_dir: str):
     blocks×|cols| (stats) and Σ|col distincts| (distinct) rows."""
     import pandas as pd
 
-    orders = _read(sf_dir, "orders", list(PROFILE_COLS))
+    # the distinct sweep's map-side work scales with DISTINCT VALUES
+    # per block (o_orderkey is all-distinct), not bytes — ask for more
+    # read parallelism than the byte-derived default would give
+    orders = _read(
+        sf_dir, "orders", list(PROFILE_COLS),
+        override_num_blocks=bucket_count(
+            parquet_rows(f"{sf_dir}/orders.parquet"),
+            target_rows_per_bucket=2_500,
+        ),
+    )
     I64_MIN, I64_MAX = np.iinfo(np.int64).min, np.iinfo(np.int64).max
 
     def stat_partial(t: pa.Table) -> pa.Table:
@@ -2984,7 +2995,16 @@ def q_mad_outliers(sf_dir: str):
     streaming.  For an unbounded value domain at 100 TB the same
     protocol runs with two rounds of range-narrowing (count-below
     partials against candidate pivots) instead of a full histogram."""
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    # like q_profile_orders: the histogram map's work scales with
+    # distinct cents per block, so ask for distinct-proportional
+    # read parallelism rather than the byte-derived default
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_totalprice"],
+        override_num_blocks=bucket_count(
+            parquet_rows(f"{sf_dir}/orders.parquet"),
+            target_rows_per_bucket=2_500,
+        ),
+    )
 
     def hist(t: pa.Table) -> pa.Table:
         cents = pc.cast(

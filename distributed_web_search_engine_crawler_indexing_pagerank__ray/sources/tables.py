@@ -12,12 +12,52 @@ the same discipline: one dir per table, atomic rename via a temp dir +
 
 from __future__ import annotations
 
+import math
 import os
 import shutil
 
 import pyarrow as pa
 import pyarrow.parquet as pq
+import ray
 import ray.data
+
+# Size-derived read parallelism: Ray's default block count has a floor
+# of ~2 tasks per cluster CPU, which turns a 5k-row dimension table
+# into 64 near-empty blocks — and every downstream shuffle then pays
+# 64 map + 64 reduce task launches to move kilobytes.  The rule below
+# only ever LOWERS the block count below that CPU floor (never forces
+# a count on a big table, whose bytes-based splitting Ray already does
+# right), so at 100 TB the read plan is exactly Ray's native one and
+# at test scale small tables stop drowning in scheduling overhead.
+READ_ROWS_PER_BLOCK = int(os.environ.get("GRAFT_READ_ROWS_PER_BLOCK", 25_000))
+READ_BYTES_PER_BLOCK = int(
+    os.environ.get("GRAFT_READ_BYTES_PER_BLOCK", 262_144)
+)
+
+
+def _derived_read_blocks(path: str):
+    """Block count for a SMALL parquet file, or None to keep Ray's
+    default (big files, directories, any metadata failure)."""
+    if os.environ.get("GRAFT_READ_BLOCKS_DISABLE"):
+        return None
+    try:
+        rows = pq.ParquetFile(path).metadata.num_rows  # footer only
+        size = os.path.getsize(path)
+    except Exception:
+        return None  # directory input etc.
+    rule = max(
+        1,
+        math.ceil(rows / READ_ROWS_PER_BLOCK),
+        math.ceil(size / READ_BYTES_PER_BLOCK),
+    )
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 0)) or (
+            os.cpu_count() or 8
+        )
+    except Exception:
+        cpus = os.cpu_count() or 8
+    floor = 2 * cpus  # Ray's own minimum-parallelism heuristic
+    return rule if rule < floor else None
 
 
 def read_parquet_clean(path: str, columns=None, **kwargs) -> "ray.data.Dataset":
@@ -26,13 +66,22 @@ def read_parquet_clean(path: str, columns=None, **kwargs) -> "ray.data.Dataset":
     metadata dict that makes ``pa.Schema`` unhashable, so Ray Data's
     ``unify_schemas`` schema-dedup fails and logs ``Failed to hash the
     schemas`` on every stage of every pipeline.  Passing an explicit
-    metadata-free schema keeps blocks hashable end to end."""
+    metadata-free schema keeps blocks hashable end to end.
+
+    Small files also get a size-derived ``override_num_blocks`` (see
+    ``_derived_read_blocks``); pass ``override_num_blocks`` explicitly
+    to take precedence (e.g. a stage that needs map-side parallelism
+    disproportionate to its input bytes)."""
     try:
         schema = pq.read_schema(path).remove_metadata()
         if columns is not None:  # schema must match the projection
             schema = pa.schema([schema.field(c) for c in columns])
     except Exception:
         schema = None  # directory input etc. — let Ray infer
+    if "override_num_blocks" not in kwargs:
+        blocks = _derived_read_blocks(path)
+        if blocks is not None:
+            kwargs["override_num_blocks"] = blocks
     return ray.data.read_parquet(path, schema=schema, columns=columns, **kwargs)
 
 

@@ -116,3 +116,30 @@ def test_interchange_format_roundtrip(tmp_path, fmt, ray_session):
 def test_unknown_format_rejected(tmp_path):
     with pytest.raises(ValueError):
         TableCatalog(str(tmp_path), fmt="orc")
+
+
+def test_derived_read_blocks_small_vs_large(tmp_path, monkeypatch):
+    """Size-derived read parallelism: small files get row/byte-derived
+    block counts; anything at or above Ray's CPU floor keeps Ray's
+    native plan (returns None); the env kill-switch disables the rule."""
+    import numpy as np
+
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.sources import tables
+
+    p = str(tmp_path / "t.parquet")
+    pa.parquet.write_table(
+        pa.table({"x": pa.array(np.arange(100_000, dtype=np.int64))}), p
+    )
+    # 100k rows at 25k rows/block -> 4 (byte rule smaller here)
+    monkeypatch.setattr(tables, "READ_BYTES_PER_BLOCK", 1 << 30)
+    assert tables._derived_read_blocks(p) == 4
+    # tiny target => rule >= cpu floor => defer to Ray's default
+    monkeypatch.setattr(tables, "READ_ROWS_PER_BLOCK", 1)
+    assert tables._derived_read_blocks(p) is None
+    # kill-switch
+    monkeypatch.setattr(tables, "READ_ROWS_PER_BLOCK", 25_000)
+    monkeypatch.setenv("GRAFT_READ_BLOCKS_DISABLE", "1")
+    assert tables._derived_read_blocks(p) is None
+    # directory input: no metadata => None
+    monkeypatch.delenv("GRAFT_READ_BLOCKS_DISABLE")
+    assert tables._derived_read_blocks(str(tmp_path)) is None
