@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percent_rank_price": relational.q_percent_rank_price,
         "unpivot_revenue": relational.q_unpivot_revenue,
         "mad_outliers": relational.q_mad_outliers,
+        "corr_qty_discount": relational.q_corr_qty_discount,
         # rows-only from here: data-dependent (k-means) or exact
         # reference-semantics oracles run in tests/ instead of SQL
         "knn_ivf": similarity.q_knn_ivf,
@@ -276,4 +277,5 @@ def oracle_sql() -> dict[str, str]:
         "percent_rank_price": relational.SQL_PERCENT_RANK_PRICE,
         "unpivot_revenue": relational.SQL_UNPIVOT_REVENUE,
         "mad_outliers": relational.SQL_MAD_OUTLIERS,
+        "corr_qty_discount": relational.SQL_CORR_QTY_DISCOUNT,
     }

@@ -199,6 +199,7 @@ QUERY_NAMES = [
     "percent_rank_price",
     "unpivot_revenue",
     "mad_outliers",
+    "corr_qty_discount",
 ]
 
 

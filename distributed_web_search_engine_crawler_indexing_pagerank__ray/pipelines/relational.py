@@ -3078,3 +3078,100 @@ SELECT o_orderkey, o_totalprice,
 FROM c, m, d
 WHERE abs(cents - med) > {MAD_K} * mad
 """
+
+
+# -- exact Pearson correlation per group (integer-moment reduce) ---------------
+
+
+def q_corr_qty_discount(sf_dir: str):
+    """Pearson correlation of (quantity, discount%) per return flag —
+    the feature-correlation verb of a profiling sweep, computed from
+    EXACT integer moments so the float result is bit-identical on both
+    engines.
+
+    One streaming pass, ZERO shuffles: each block folds to per-flag
+    (n, Σx, Σy, Σx², Σy², Σxy) integer partials (arrow ``group_by``
+    per block; x = quantity, y = floor(discount·100 + 0.5), so all
+    six sums are exact int64), the blocks × |flags| partial rows merge
+    on the driver, and r is evaluated in float64 with the IDENTICAL
+    expression tree the SQL oracle uses — exact-int sums first, ONE
+    cast to double, same multiply/divide order, so even the sqrt
+    arguments match bit for bit.  At extreme scale the int64 moment
+    sums are replaced by the same expression over per-partition
+    partials cast to double before the final combine (documented
+    precision tradeoff) — the dataflow shape is unchanged."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_discount"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        x = pc.cast(t["l_quantity"], pa.int64())
+        y = pc.cast(
+            pc.floor(pc.add(pc.multiply(t["l_discount"], pa.scalar(100.0)),
+                            pa.scalar(0.5))),
+            pa.int64(),
+        )
+        g = (
+            pa.table(
+                {
+                    "l_returnflag": t["l_returnflag"],
+                    "n": pa.array(np.ones(t.num_rows, np.int64)),
+                    "sx": x,
+                    "sy": y,
+                    "sxx": pc.multiply(x, x),
+                    "syy": pc.multiply(y, y),
+                    "sxy": pc.multiply(x, y),
+                }
+            )
+            .group_by("l_returnflag")
+            .aggregate([("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+                        ("sxx", "sum"), ("syy", "sum"), ("sxy", "sum")])
+        )
+        return g.rename_columns(
+            ["l_returnflag", "n", "sx", "sy", "sxx", "syy", "sxy"]
+        )
+
+    pdf = (
+        ds.map_batches(moments, batch_format="pyarrow")
+        .to_pandas()  # blocks × |flags| additive rows — domain-bounded
+        .groupby("l_returnflag", as_index=False)
+        .sum()
+    )
+    n = pdf["n"].to_numpy(np.int64).astype(np.float64)
+    sx = pdf["sx"].to_numpy(np.int64).astype(np.float64)
+    sy = pdf["sy"].to_numpy(np.int64).astype(np.float64)
+    sxx = pdf["sxx"].to_numpy(np.int64).astype(np.float64)
+    syy = pdf["syy"].to_numpy(np.int64).astype(np.float64)
+    sxy = pdf["sxy"].to_numpy(np.int64).astype(np.float64)
+    r = (n * sxy - sx * sy) / (
+        np.sqrt(n * sxx - sx * sx) * np.sqrt(n * syy - sy * sy)
+    )
+    return pa.table(
+        {
+            "l_returnflag": pa.array(pdf["l_returnflag"], pa.string()),
+            "r": pa.array(r, pa.float64()),
+        }
+    )
+
+
+SQL_CORR_QTY_DISCOUNT = """
+WITH p AS (
+  SELECT l_returnflag,
+         CAST(l_quantity AS BIGINT) AS x,
+         CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS y
+  FROM lineitem
+),
+s AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(CAST(sum(x) AS BIGINT) AS DOUBLE) AS sx,
+         CAST(CAST(sum(y) AS BIGINT) AS DOUBLE) AS sy,
+         CAST(CAST(sum(x * x) AS BIGINT) AS DOUBLE) AS sxx,
+         CAST(CAST(sum(y * y) AS BIGINT) AS DOUBLE) AS syy,
+         CAST(CAST(sum(x * y) AS BIGINT) AS DOUBLE) AS sxy
+  FROM p GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       (n * sxy - sx * sy)
+       / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS r
+FROM s
+"""
