@@ -2213,3 +2213,46 @@ def test_mad_outliers_planted_even_count_and_dev_collision(tmp_path):
     out = _to_df(relational.q_mad_outliers(str(tmp_path)))
     assert out.o_orderkey.tolist() == [6]
     assert out.dev_cents.tolist() == [600]
+
+
+def test_corr_planted_exact_and_zero_variance(tmp_path):
+    """Engine float equals the DuckDB oracle BIT-FOR-BIT on a planted
+    file, including a zero-variance group: there the exact-integer
+    numerator is provably 0 too, so both engines evaluate 0/0 (NaN on
+    the numpy side, NULL→NaN through pandas on the DuckDB side)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines import relational
+
+    pq.write_table(
+        pa.table(
+            {
+                # flag A: anticorrelated-ish; flag B: y CONSTANT
+                "l_returnflag": pa.array(["A", "A", "A", "B", "B"]),
+                "l_quantity": pa.array([1.0, 2.0, 3.0, 7.0, 9.0]),
+                "l_discount": pa.array([0.05, 0.03, 0.01, 0.04, 0.04]),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    out = (
+        _to_df(relational.q_corr_qty_discount(str(tmp_path)))
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )
+    c = duckdb.connect()
+    c.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/lineitem.parquet')"
+    )
+    ref = (
+        c.execute(relational.SQL_CORR_QTY_DISCOUNT)
+        .df()
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )
+    # bit-identical to the oracle; ≈ −1 up to sqrt(6)·sqrt(6) ≠ 6 ulp
+    assert out.r[0] == ref.r[0]
+    assert abs(out.r[0] - (-1.0)) < 1e-15
+    assert np.isnan(out.r[1]) and np.isnan(ref.r[1])
