@@ -863,19 +863,32 @@ def q_dedup_clusters(sf_dir: str):
 
     # active nodes = distinct edge endpoints (src covers both ends of
     # the symmetric edge set); initial label = own id
+    NB = _dedup_nb(sf_dir)
+
     def init_labels(t: pa.Table) -> pa.Table:
-        return pa.table({"node": t["src"], "label": t["src"]})
+        src = t["src"]
+        return pa.table(
+            {
+                "bucket": pc.cast(
+                    pc.bit_wise_and(src, pa.scalar(NB - 1)), pa.int32()
+                ),
+                "node": src,
+                "label": src,
+            }
+        )
+
+    def init_bucket(g: pa.Table) -> pa.Table:
+        u = pc.unique(g["node"]).cast(pa.int64())
+        return pa.table({"node": u, "label": u})
 
     labels = _compact(
         edges.map_batches(init_labels, batch_format="pyarrow")
-        .groupby("node")
-        .aggregate(Min("label", alias_name="label"))
+        .groupby("bucket")
+        .map_groups(init_bucket, batch_format="pyarrow")
         .materialize()
     )
     agg = labels.aggregate(Sum("label", alias_name="s"))
     prev_sum = agg["s"] if agg else 0
-
-    NB = _dedup_nb(sf_dir)
 
     def tag_edges(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -905,14 +918,46 @@ def q_dedup_clusters(sf_dir: str):
 
     def join_propose(g: pa.Table) -> pa.Table:
         # arrow in/out (see star above); the hash join itself is a
-        # pandas merge on the group
+        # pandas merge on the group, combined to ONE min-label proposal
+        # per destination node before anything leaves the bucket
         df = g.to_pandas()
         e = df[df["side"] == "e"][["key", "dst"]]
         l = df[df["side"] == "l"][["key", "label"]]
-        m = e.merge(l, on="key", how="inner")
+        m = (
+            e.merge(l, on="key", how="inner")
+            .groupby("dst", as_index=False)["label"]
+            .min()
+        )
         return pa.table(
             {
                 "node": pa.array(m["dst"].to_numpy(dtype=np.int64)),
+                "label": pa.array(m["label"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    def tag_nodes(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bucket": pc.cast(
+                    pc.bit_wise_and(t["node"], pa.scalar(NB - 1)), pa.int32()
+                ),
+                "node": t["node"],
+                "label": t["label"],
+            }
+        )
+
+    def min_bucket(g: pa.Table) -> pa.Table:
+        # vectorized per-bucket min (one pandas groupby per bucket) —
+        # Ray's sort-based Aggregate on a per-node key costs ~an order
+        # more remote time on these small label streams
+        m = (
+            g.to_pandas()
+            .groupby("node", as_index=False)["label"]
+            .min()
+        )
+        return pa.table(
+            {
+                "node": pa.array(m["node"].to_numpy(dtype=np.int64)),
                 "label": pa.array(m["label"].to_numpy(dtype=np.int64)),
             }
         )
@@ -926,8 +971,9 @@ def q_dedup_clusters(sf_dir: str):
         ).groupby("bucket").map_groups(join_propose, batch_format="pyarrow")
         labels = _compact(
             proposals.union(labels)
-            .groupby("node")
-            .aggregate(Min("label", alias_name="label"))
+            .map_batches(tag_nodes, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(min_bucket, batch_format="pyarrow")
             .materialize()
         )
         agg = labels.aggregate(Sum("label", alias_name="s"))
