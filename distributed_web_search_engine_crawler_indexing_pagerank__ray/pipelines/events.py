@@ -262,12 +262,18 @@ SLIDE_MIN = 15  # windows start every 15 min, length 1 h
 
 def q_window_sliding(sf_dir: str):
     """1-hour windows sliding every 15 min, per event_type: each event
-    lands in 4 windows (vectorized expansion in map_batches; the
-    shuffle is the grouped count over pre-windowed rows)."""
+    lands in 4 windows (vectorized expansion in map_batches).  The
+    counts are exact integers, so each block pre-aggregates its own
+    (type, window) partials before the shuffle — the exchange moves
+    blocks × |windows touched| rows, not 4× the raw table — and the
+    bucketed merge runs one vectorized pandas groupby per hash bucket
+    (Ray's sort-based Aggregate on raw expanded rows costs an order
+    more remote time)."""
+    import numpy as np
+
+    NB = bucket_count(parquet_rows(f"{sf_dir}/events.parquet"))
 
     def expand(t: pa.Table) -> pa.Table:
-        import numpy as np
-
         ts = t["ts"].to_pandas()
         base = ts.dt.floor(f"{SLIDE_MIN}min")
         types = t["event_type"].to_pylist()
@@ -277,35 +283,54 @@ def q_window_sliding(sf_dir: str):
             out_type.extend(types)
             out_ws.append(ws)
         ws_all = pd.concat(out_ws, ignore_index=True)
+        part = (
+            pa.table(
+                {
+                    "event_type": pa.array(out_type, pa.string()),
+                    "window_start": pc.cast(
+                        pa.Array.from_pandas(ws_all), pa.timestamp("us")
+                    ),
+                    "n": pa.array(np.ones(len(ws_all), np.int64)),
+                }
+            )
+            .group_by(["event_type", "window_start"])
+            .aggregate([("n", "sum")])
+        ).rename_columns(["event_type", "window_start", "n"])
+        h = np.bitwise_xor(
+            part["window_start"].cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            ),
+            pd.util.hash_array(
+                np.asarray(part["event_type"].to_pandas())
+            ).astype(np.int64),
+        )
+        return part.append_column(
+            "bucket", pa.array((h & (NB - 1)).astype(np.int32))
+        )
+
+    def merge_bucket(g: pa.Table) -> pa.Table:
+        m = (
+            g.to_pandas()
+            .groupby(["event_type", "window_start"], as_index=False)["n"]
+            .sum()
+        )
         return pa.table(
             {
-                "event_type": pa.array(out_type, pa.string()),
+                "event_type": pa.array(m["event_type"], pa.string()),
                 "window_start": pc.cast(
-                    pa.Array.from_pandas(ws_all), pa.timestamp("us")
+                    pa.Array.from_pandas(m["window_start"]),
+                    pa.timestamp("us"),
                 ),
+                "n": pa.array(m["n"].to_numpy(np.int64)),
             }
         )
 
-    from ray.data.aggregate import Count
-
-    ds = _events(sf_dir, ["ts", "event_type"]).map_batches(
-        expand, batch_format="pyarrow"
+    return (
+        _events(sf_dir, ["ts", "event_type"])
+        .map_batches(expand, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(merge_bucket, batch_format="pyarrow")
     )
-    out = ds.groupby(["event_type", "window_start"]).aggregate(
-        Count(alias_name="n")
-    )
-
-    def recast(t: pa.Table) -> pa.Table:
-        # the grouped aggregate can downcast the key to timestamp[s];
-        # re-cast so the output schema matches the SQL oracle's µs
-        # (same fix as q_window_tumbling)
-        return t.set_column(
-            t.schema.get_field_index("window_start"),
-            "window_start",
-            pc.cast(t["window_start"], pa.timestamp("us")),
-        )
-
-    return out.map_batches(recast, batch_format="pyarrow")
 
 
 SQL_WINDOW_SLIDING = f"""
