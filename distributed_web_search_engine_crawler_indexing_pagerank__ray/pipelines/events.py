@@ -273,22 +273,24 @@ def q_window_sliding(sf_dir: str):
 
     NB = bucket_count(parquet_rows(f"{sf_dir}/events.parquet"))
 
+    STEP_US = SLIDE_MIN * 60 * 1_000_000
+
     def expand(t: pa.Table) -> pa.Table:
-        ts = t["ts"].to_pandas()
-        base = ts.dt.floor(f"{SLIDE_MIN}min")
-        types = t["event_type"].to_pylist()
-        out_type, out_ws = [], []
-        for k in range(60 // SLIDE_MIN):
-            ws = base - pd.Timedelta(minutes=SLIDE_MIN * k)
-            out_type.extend(types)
-            out_ws.append(ws)
-        ws_all = pd.concat(out_ws, ignore_index=True)
+        # fully vectorized 4× expansion: int64 µs floor + shifted
+        # copies, arrow concat for the type column (no to_pylist loop)
+        ts_us = pc.cast(
+            pc.cast(t["ts"], pa.timestamp("us")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        base = ts_us - ts_us % STEP_US  # epochs non-negative ⇒ floor
+        k = 60 // SLIDE_MIN
+        ws_all = np.concatenate([base - j * STEP_US for j in range(k)])
+        types = t["event_type"].combine_chunks()
         part = (
             pa.table(
                 {
-                    "event_type": pa.array(out_type, pa.string()),
+                    "event_type": pa.concat_arrays([types] * k),
                     "window_start": pc.cast(
-                        pa.Array.from_pandas(ws_all), pa.timestamp("us")
+                        pa.array(ws_all, pa.int64()), pa.timestamp("us")
                     ),
                     "n": pa.array(np.ones(len(ws_all), np.int64)),
                 }
@@ -1935,6 +1937,16 @@ def q_sliding_distinct_users(sf_dir: str):
         distinct_hours, batch_format="pyarrow"
     ).materialize()
     bounds = pairs.aggregate(Min("hr"), Max("hr"))
+    if not bounds or bounds.get("min(hr)") is None:
+        # empty events table: the oracle's window join yields no rows —
+        # return a TYPED empty pandas frame (Ray's to_pandas() on a
+        # zero-row Dataset drops all columns) instead of int(None)
+        return pd.DataFrame(
+            {
+                "anchor_hr": pd.Series(dtype=object),
+                "n_users": pd.Series(dtype="int64"),
+            }
+        )
     lo_hr, hi_hr = int(bounds["min(hr)"]), int(bounds["max(hr)"])
 
     def deltas(g: pd.DataFrame) -> pd.DataFrame:
@@ -2033,7 +2045,10 @@ def q_time_weighted_value(sf_dir: str):
     micro-units × duration in whole SECONDS (the µs→s truncation is
     floor on both engines — epochs are non-negative), numerator ≤
     5·10⁸·Δspan_s ⇒ int64 holds ~600-year spans; the final division
-    truncates (num ≥ 0 so floor == trunc on both sides).  Users with
+    TRUNCATES toward zero on both engines — DuckDB's ``//`` truncates
+    while numpy's floors, so the kernel divides sign-magnitude
+    (``sign(num) · (|num| // dur)``), exact for any value sign.  Users
+    with
     no successor pair (single event) have zero observed duration and
     drop, mirroring the SQL's NOT NULL lead filter."""
     NB = bucket_count(parquet_rows(f"{sf_dir}/events.parquet"))
@@ -2082,11 +2097,13 @@ def q_time_weighted_value(sf_dir: str):
         )
         dur = agg["dur_s"].to_numpy(np.int64)
         num = agg["num"].to_numpy(np.int64)
+        # DuckDB // truncates toward zero; numpy // floors — divide
+        # sign-magnitude so a negative weighted sum matches the oracle
+        q = np.sign(num) * (np.abs(num) // np.maximum(dur, 1))
         return pd.DataFrame(
             {
                 "user_id": agg["user_id"].to_numpy(np.int64),
-                "twa_micro": np.where(dur > 0, num // np.maximum(dur, 1),
-                                      0).astype(np.int64),
+                "twa_micro": np.where(dur > 0, q, 0).astype(np.int64),
                 "dur_s": dur,
             }
         )

@@ -2514,31 +2514,31 @@ def q_profile_orders(sf_dir: str):
 
     Shape: two partial streams, neither ever ships raw rows twice.
     (1) Stats: each block folds every column to one (col, n, n_null,
-    typed min/max) row — numeric columns keep int64 min/max lanes
-    (string min/max of "10" < "9" would be wrong), string columns keep
-    string lanes; a tiny ``groupby(col_name)`` finishes.  (2) Distinct:
-    per-block ``pc.unique`` partials per column (value space cast to
-    string — injective for ints, so counts are unchanged), the
-    two-level distinct reduce keyed by (col, value) then col.  The
-    driver stitches |cols| scalars.  At 100 TB each stream moves
-    blocks×|cols| (stats) and Σ|col distincts| (distinct) rows."""
+    is_num, typed min/max) row — numeric columns keep int64 min/max
+    lanes (string min/max of "10" < "9" would be wrong), string columns
+    keep string lanes; the numeric/string split is an EXPLICIT per-block
+    ``is_num`` flag from the arrow type (inferring it from a sentinel
+    would misclassify an all-NULL int column), and an all-NULL column
+    yields NULL min/max like SQL; a tiny driver merge finishes.
+    (2) Distinct: per-block ``pc.unique`` partials per column (value
+    space cast to string — injective for ints, so counts are
+    unchanged), then ONE size-derived ``groupby(hash(v) & (B-1))``
+    where each bucket drop-duplicates (col, v) and emits per-col count
+    partials — every (col, v) pair lives in exactly one bucket, so the
+    partials are additive and the driver stitches |cols|×B scalars.
+    No per-(col,value) map_groups anywhere: the old shape paid Ray's
+    ~0.75 ms/group dispatch once per distinct value (linear in data).
+    At 100 TB each stream moves blocks×|cols| (stats) and
+    Σ|col distincts| (distinct) rows."""
     import pandas as pd
 
-    # the distinct sweep's map-side work scales with DISTINCT VALUES
-    # per block (o_orderkey is all-distinct), not bytes — ask for more
-    # read parallelism than the byte-derived default would give
-    orders = _read(
-        sf_dir, "orders", list(PROFILE_COLS),
-        override_num_blocks=bucket_count(
-            parquet_rows(f"{sf_dir}/orders.parquet"),
-            target_rows_per_bucket=2_500,
-        ),
-    )
+    orders = _read(sf_dir, "orders", list(PROFILE_COLS))
+    NB = bucket_count(parquet_rows(f"{sf_dir}/orders.parquet"))
     I64_MIN, I64_MAX = np.iinfo(np.int64).min, np.iinfo(np.int64).max
 
     def stat_partial(t: pa.Table) -> pa.Table:
         rows = {
-            "col_name": [], "n_rows": [], "n_null": [],
+            "col_name": [], "n_rows": [], "n_null": [], "is_num": [],
             "min_i": [], "max_i": [], "min_s": [], "max_s": [],
         }
         for col in PROFILE_COLS:
@@ -2546,6 +2546,7 @@ def q_profile_orders(sf_dir: str):
             rows["col_name"].append(col)
             rows["n_rows"].append(len(a))
             rows["n_null"].append(a.null_count)
+            rows["is_num"].append(pa.types.is_integer(a.type))
             if pa.types.is_integer(a.type):
                 rows["min_i"].append(pc.min(a).as_py()
                                      if len(a) > a.null_count else I64_MAX)
@@ -2563,6 +2564,7 @@ def q_profile_orders(sf_dir: str):
                 "col_name": pa.array(rows["col_name"], pa.string()),
                 "n_rows": pa.array(rows["n_rows"], pa.int64()),
                 "n_null": pa.array(rows["n_null"], pa.int64()),
+                "is_num": pa.array(rows["is_num"], pa.bool_()),
                 "min_i": pa.array(rows["min_i"], pa.int64()),
                 "max_i": pa.array(rows["max_i"], pa.int64()),
                 "min_s": pa.array(rows["min_s"], pa.string()),
@@ -2572,8 +2574,11 @@ def q_profile_orders(sf_dir: str):
 
     def stat_merge(g: pd.DataFrame) -> pd.DataFrame:
         col = g["col_name"].iloc[0]
-        is_num = bool((g["min_i"] != I64_MAX).any())
-        if is_num:
+        is_num = bool(g["is_num"].iloc[0])
+        all_null = int(g["n_rows"].sum()) == int(g["n_null"].sum())
+        if all_null:
+            mn = mx = None  # SQL min/max of an all-NULL column is NULL
+        elif is_num:
             mn, mx = str(int(g["min_i"].min())), str(int(g["max_i"].max()))
         else:
             mn = g["min_s"].dropna().min()
@@ -2599,54 +2604,68 @@ def q_profile_orders(sf_dir: str):
     )
 
     def distinct_partial(t: pa.Table) -> pa.Table:
-        cols, vals = [], []
+        cols, vals, buckets = [], [], []
         for col in PROFILE_COLS:
             u = pc.unique(pc.drop_null(
                 pc.cast(t[col].combine_chunks(), pa.string())
             ))
             cols.append(pa.array([col] * len(u), pa.string()))
             vals.append(u)
+            # deterministic vectorized string hash (siphash with
+            # pandas' fixed default key — stable across processes)
+            h = pd.util.hash_array(u.to_numpy(zero_copy_only=False))
+            buckets.append(pa.array((h & (NB - 1)).astype(np.int32)))
         return pa.table(
             {
+                "bucket": pa.chunked_array(buckets, pa.int32()),
                 "col_name": pa.chunked_array(cols, pa.string()),
                 "v": pa.chunked_array(vals, pa.string()),
             }
         )
 
-    def first_val(g: pd.DataFrame) -> pd.DataFrame:
+    def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # bucket = hash(v) & (NB-1): every occurrence of a (col, v)
+        # pair is in this one bucket, so one vectorized drop_duplicates
+        # + size() yields additive per-col distinct-count partials —
+        # |cols| rows out per bucket, never a per-value Python call
+        out = (
+            g.drop_duplicates(["col_name", "v"])
+            .groupby("col_name", as_index=False)
+            .size()
+        )
         return pd.DataFrame(
-            {"col_name": [g["col_name"].iloc[0]], "v": [g["v"].iloc[0]]}
+            {"col_name": out["col_name"],
+             "n": out["size"].astype(np.int64)}
         )
 
-    def count_partial(t: pa.Table) -> pa.Table:
-        # per-block (col, n) count partials over the deduped (col, v)
-        # stream — additive, so the final per-col sum is a driver
-        # stitch of blocks × |cols| scalars, not a second shuffle
-        g = (
-            pa.table(
-                {
-                    "col_name": t["col_name"],
-                    "n": pa.array(np.ones(t.num_rows, np.int64)),
-                }
-            )
-            .group_by("col_name")
-            .aggregate([("n", "sum")])
-        )
-        return g.rename_columns(["col_name", "n"])
-
-    distinct = (
+    dpdf = (
         orders.map_batches(distinct_partial, batch_format="pyarrow")
-        .groupby(["col_name", "v"])
-        .map_groups(first_val, batch_format="pandas")
-        .map_batches(count_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(count_bucket, batch_format="pandas")
         .to_pandas()
-        .groupby("col_name", as_index=False)["n"]
-        .sum()
-        .rename(columns={"n": "n_distinct"})
-        .astype({"n_distinct": "int64"})
     )
-    # |cols| rows on each side: a driver-side stitch, not a data join
-    return stats.merge(distinct, on="col_name")[
+    if len(dpdf) == 0 or "n" not in dpdf.columns:
+        # every profiled column all-NULL (or an empty table): no
+        # distinct partials exist at all
+        distinct = pd.DataFrame(
+            {"col_name": pd.Series(dtype=object),
+             "n_distinct": pd.Series(dtype="int64")}
+        )
+    else:
+        distinct = (
+            dpdf.groupby("col_name", as_index=False)["n"]
+            .sum()
+            .rename(columns={"n": "n_distinct"})
+            .astype({"n_distinct": "int64"})
+        )
+    # |cols| rows on each side: a driver-side stitch, not a data join.
+    # LEFT merge: an all-NULL column emits no distinct partials at all —
+    # its n_distinct is 0, not a dropped row
+    out = stats.merge(distinct, on="col_name", how="left")
+    out["n_distinct"] = (
+        out["n_distinct"].fillna(0).astype("int64")
+    )
+    return out[
         ["col_name", "n_rows", "n_null", "n_distinct", "min_s", "max_s"]
     ]
 

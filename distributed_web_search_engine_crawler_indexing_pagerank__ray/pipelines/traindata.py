@@ -1055,7 +1055,12 @@ def q_dup_spans(sf_dir: str):
     resolve in the same task — then a doc-hash exchange for the
     per-doc interval-union (sorted-diff kernel, no 5× position
     blow-up).  NB is size-derived from the token estimate (occurrence
-    rows ≈ tokens), bounding per-bucket memory at any corpus size."""
+    rows ≈ tokens), bounding per-bucket memory at any corpus size.
+
+    Gram identity is the FULL 128-bit md5 (two uint64 lanes, ``gh`` +
+    ``gh2``; bucketing uses gh alone, equality uses both) — a top-64-bit
+    key alone would merge colliding grams and miscount, while the SQL
+    oracle compares real gram strings."""
 
     nb = bucket_count(
         parquet_token_estimate(f"{sf_dir}/documents.parquet"),
@@ -1066,6 +1071,7 @@ def q_dup_spans(sf_dir: str):
         {
             "bucket": pa.array([], pa.int32()),
             "gh": pa.array([], pa.uint64()),
+            "gh2": pa.array([], pa.uint64()),
             "doc_id": pa.array([], pa.int64()),
             "pos": pa.array([], pa.int64()),
         }
@@ -1086,11 +1092,9 @@ def q_dup_spans(sf_dir: str):
             grams = grams + " " + toks[starts + k]
         codes, uniq = pd.factorize(grams)
         digests = b"".join(hashlib.md5(x.encode()).digest() for x in uniq)
-        uh = (
-            np.frombuffer(digests, dtype=">u8").reshape(-1, 2)[:, 0]
-            .astype(np.uint64)
-        )
-        gh = uh[codes]
+        both = np.frombuffer(digests, dtype=">u8").reshape(-1, 2)
+        gh = both[:, 0].astype(np.uint64)[codes]
+        gh2 = both[:, 1].astype(np.uint64)[codes]
         # doc-relative token position (docs never split across rows)
         first_idx = np.searchsorted(parents, parents, side="left")
         pos = (starts - first_idx[starts]).astype(np.int64)
@@ -1102,6 +1106,7 @@ def q_dup_spans(sf_dir: str):
             {
                 "bucket": pa.array(buckets),
                 "gh": pa.array(gh, pa.uint64()),
+                "gh2": pa.array(gh2, pa.uint64()),
                 "doc_id": pa.array(all_ids[parents[starts]], pa.int64()),
                 "pos": pa.array(pos, pa.int64()),
             }
@@ -1114,9 +1119,10 @@ def q_dup_spans(sf_dir: str):
     # per gh-bucket: every occurrence of each gram is here, so the
     # ≥2-distinct-docs test and the position semi-join are one task
     def dup_positions(g: pd.DataFrame) -> pa.Table:
-        ndocs = g.groupby("gh")["doc_id"].nunique()
-        dup = ndocs.index[ndocs.to_numpy() >= 2]
-        d = g[g["gh"].isin(dup)]
+        # gram key = (gh, gh2) — the full 128-bit digest, not just the
+        # bucketing half; a transform-nunique keeps it one vectorized op
+        nun = g.groupby(["gh", "gh2"])["doc_id"].transform("nunique")
+        d = g[nun.to_numpy() >= 2]
         return pa.table(
             {
                 "doc_id": pa.array(d["doc_id"].to_numpy(np.int64)),
