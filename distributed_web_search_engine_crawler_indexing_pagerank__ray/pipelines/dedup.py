@@ -21,9 +21,11 @@ import ray.data
 from ..sources.tables import read_parquet_clean
 
 from ..functions.textstats import (
+    _MERSENNE,
     jaccard,
     minhash_params,
     minhash_signature,
+    shingle_explode,
     shingles,
     simhash,
 )
@@ -228,25 +230,86 @@ def q_dedup_minhash(sf_dir: str):
     NB = _dedup_nb(sf_dir)
 
     def sigs(t: pa.Table) -> pa.Table:
-        band_ids, band_hashes, doc_ids, buckets = [], [], [], []
+        # Batched signature kernel, BIT-IDENTICAL to the scalar
+        # ``minhash_signature(shingles(text))`` path (the SQL oracle
+        # recomputes every md5/uint64 step): the vectorized shingler
+        # explodes the whole batch once, md5 runs once per DISTINCT
+        # shingle (factorize maps back), the 64 permutations apply as
+        # ONE (64, n) uint64 matrix op with the same wraparound
+        # arithmetic, and per-doc mins come from minimum.reduceat on
+        # doc boundaries — no per-doc Python loop in the hot path.
         rows_per_band = NUM_PERM // NUM_BANDS
-        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            sig = minhash_signature(shingles(text or "", SHINGLE_K), a_par, b_par)
+        ndocs = t.num_rows
+        sh_tab = shingle_explode(t["text"], SHINGLE_K)
+        doc_pos = (
+            sh_tab["doc"].to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        sh_strs = sh_tab["shingle"].to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(sh_strs)
+        uh = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.md5(s.encode("utf-8")).digest()[:8], "big"
+                )
+                % _MERSENNE
+                for s in uniq
+            ),
+            dtype=np.uint64,
+            count=len(uniq),
+        )
+        # empty-shingle docs keep the all-MERSENNE signature
+        sig_mat = np.full((NUM_PERM, ndocs), _MERSENNE, dtype=np.uint64)
+        if len(doc_pos):
+            order = np.argsort(doc_pos, kind="stable")
+            dsort = doc_pos[order]
+            hv = uh[codes][order]
+            bnd = np.flatnonzero(np.r_[True, dsort[1:] != dsort[:-1]])
+            # chunk the (64, n) permutation matrix on doc boundaries to
+            # bound peak memory at ~64×100k×8B ≈ 50 MB per task
+            CHUNK = 100_000
+            lo = 0
+            while lo < len(bnd):
+                hi = lo
+                while hi < len(bnd) and (
+                    (bnd[hi] if hi < len(bnd) else len(dsort)) - bnd[lo]
+                ) < CHUNK:
+                    hi += 1
+                hi = max(hi, lo + 1)
+                start = bnd[lo]
+                stop = bnd[hi] if hi < len(bnd) else len(dsort)
+                seg = hv[start:stop]
+                vals = (
+                    a_par[:, None] * seg[None, :] + b_par[:, None]
+                ) % _MERSENNE
+                mins = np.minimum.reduceat(
+                    vals, bnd[lo:hi] - start, axis=1
+                )
+                sig_mat[:, dsort[bnd[lo:hi]]] = mins
+                lo = hi
+        # band keys: 16 tiny md5 calls per doc over the uint64 rows —
+        # the cheap tail; shingle hashing above was the hot part
+        all_doc = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        band_ids = np.tile(np.arange(NUM_BANDS, dtype=np.int64), ndocs)
+        doc_rep = np.repeat(all_doc, NUM_BANDS)
+        band_hashes = []
+        buckets = np.empty(ndocs * NUM_BANDS, np.int64)
+        i = 0
+        for d in range(ndocs):
+            col = np.ascontiguousarray(sig_mat[:, d])
             for b in range(NUM_BANDS):
-                chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
-                h = hashlib.md5(chunk.tobytes()).hexdigest()[:16]
-                band_ids.append(b)
+                h = hashlib.md5(
+                    col[b * rows_per_band : (b + 1) * rows_per_band]
+                    .tobytes()
+                ).hexdigest()[:16]
                 band_hashes.append(h)
-                doc_ids.append(doc_id)
-                # bucket on the band KEY: equal (band_id, band_hash)
-                # rows co-locate, so candidate gen is per-bucket
-                buckets.append((int(h[:8], 16) ^ b) & (NB - 1))
+                buckets[i] = (int(h[:8], 16) ^ b) & (NB - 1)
+                i += 1
         return pa.table(
             {
-                "bucket": pa.array(buckets, pa.int32()),
-                "band_id": pa.array(band_ids, pa.int32()),
+                "bucket": pa.array(buckets.astype(np.int32)),
+                "band_id": pa.array(band_ids.astype(np.int32)),
                 "band_hash": pa.array(band_hashes, pa.string()),
-                "doc_id": pa.array(doc_ids, pa.int64()),
+                "doc_id": pa.array(doc_rep, pa.int64()),
             }
         )
 
@@ -526,20 +589,30 @@ def q_dedup_ngram(sf_dir: str):
         return ray.data.from_arrow(cached)
 
     def explode(t: pa.Table) -> pa.Table:
-        doc_ids, shs = [], []
-        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            for s in shingles(text or "", NGRAM_K):
-                doc_ids.append(doc_id)
-                shs.append(
-                    int.from_bytes(
-                        hashlib.md5(s.encode("utf-8")).digest()[:8], "big"
-                    )
-                    >> 1  # keep int64-positive for arrow
-                )
+        # vectorized shingler (one regex split + k joined slices per
+        # batch, distinct per doc) + one vectorized 64-bit string hash
+        # (pandas' fixed-key siphash).  The hash is an INTERNAL join
+        # key only: equal shingles always collide onto the same sh, a
+        # cross-shingle collision merely adds a candidate that the
+        # exact string-level verify rejects, and the SQL oracle
+        # compares real shingle strings — so swapping the old per-
+        # shingle md5 for siphash changes no output (r4 wrong #2).
+        sh_tab = shingle_explode(t["text"], NGRAM_K)
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = pd.util.hash_array(
+            sh_tab["shingle"].to_numpy(zero_copy_only=False)
+        )
         return pa.table(
             {
-                "doc_id": pa.array(doc_ids, pa.int64()),
-                "sh": pa.array(shs, pa.int64()),
+                "doc_id": pa.array(
+                    doc_ids[
+                        sh_tab["doc"].to_numpy(zero_copy_only=False)
+                        .astype(np.int64)
+                    ]
+                ),
+                "sh": pa.array(
+                    (h >> np.uint64(1)).astype(np.int64)  # int64-positive
+                ),
             }
         )
 

@@ -411,3 +411,27 @@ def test_deletion_key_blocking_is_complete(a, b):
 
     if a != b and _lev(a, b) == 1:
         assert keys(a) & keys(b)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    texts=st.lists(st.one_of(st.none(), st.text(max_size=160)), max_size=10),
+    k=st.integers(min_value=2, max_value=6),
+)
+def test_shingle_explode_matches_scalar_shingler(texts, k):
+    """The vectorized batch shingler (dedup_ngram/minhash front-end)
+    must produce exactly the scalar ``shingles(text, k)`` set per doc —
+    including the short-doc whole-join lane, empty/None docs, and
+    every ASCII-whitespace separator (incl. \\v, which RE2's \\s
+    lacks)."""
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.functions.textstats import (
+        shingle_explode,
+        shingles,
+    )
+
+    tbl = shingle_explode(texts, k)
+    got: dict = {}
+    for d, s in zip(tbl["doc"].to_pylist(), tbl["shingle"].to_pylist()):
+        got.setdefault(d, set()).add(s)
+    for i, t in enumerate(texts):
+        assert got.get(i, set()) == shingles(t or "", k), (i, t)
