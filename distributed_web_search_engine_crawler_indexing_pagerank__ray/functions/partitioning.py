@@ -29,17 +29,22 @@ inside a 2-4 GiB worker heap even with several groups resident.
 Hot keys: bucketing by key hash bounds the EXPECTED group size; a
 single pathological key can still overflow its bucket.  Where the
 per-bucket output is an additive partial (``q_join_shuffle``,
-``q_revenue_by_segment``), the large side is further salted into
-``GRAFT_JOIN_SALT`` sub-buckets and the one-row-per-key side is
-replicated into each — see :func:`salt_count`.  Where the group fn
-needs all rows of a key together (per-user ordered scans, left-join
-per-key aggregates), salting would change semantics; those docstrings
-state the per-key bound they rely on instead.
+``q_revenue_by_segment``, ``q_local_supplier_volume``), the large side
+is further salted into sub-buckets and the one-row-per-key side is
+replicated into each.  The salt level is AUTOMATIC: each salted join
+derives it from a sampled heavy-hitter probe of its key column
+(:func:`auto_salt_count` — three row groups spread across the file,
+O(1) metadata + O(sample) read, cached per file), so a Zipf-hot key
+salts itself without any env flag; ``GRAFT_JOIN_SALT``, when set,
+overrides the probe for forced A/B runs.  Where the group fn needs all
+rows of a key together (per-user ordered scans, left-join per-key
+aggregates), salting would change semantics; those docstrings state
+the per-key bound they rely on instead.
 
 Knobs (read at query-build time so tests can force them):
 - ``GRAFT_ROWS_PER_BUCKET``: target rows per bucket (default 500_000).
-- ``GRAFT_JOIN_SALT``: sub-bucket count for the salted joins
-  (default 1 = off; power of two).
+- ``GRAFT_JOIN_SALT``: forced sub-bucket count for the salted joins
+  (power of two; unset = derive from the heavy-hitter probe).
 """
 
 from __future__ import annotations
@@ -78,11 +83,82 @@ def bucket_count(
 
 
 def salt_count() -> int:
-    """Sub-bucket count for hot-key salting in the additive-partial
-    joins (power of two; 1 = off).  Off by default: salting multiplies
-    the replicated side by S, which only pays for itself under real
-    key skew — turn it on per run via ``GRAFT_JOIN_SALT``."""
+    """Forced sub-bucket count for hot-key salting (power of two;
+    1 = off).  This is the env-only knob; the salted joins call
+    :func:`auto_salt_count` instead, which falls back to this when
+    ``GRAFT_JOIN_SALT`` is set."""
     return next_pow2(int(os.environ.get("GRAFT_JOIN_SALT", 1)))
+
+
+# heavy-hitter probe: sample cap, salt ceiling, per-file memo
+SALT_SAMPLE_ROWS = 100_000
+MAX_SALT = 64
+_HOT_SHARE_CACHE: dict[tuple[str, str], float] = {}
+
+
+def hot_key_share(path: str, column: str,
+                  *, sample_rows: int = SALT_SAMPLE_ROWS) -> float:
+    """Estimated share (0..1] of the single hottest key in a parquet
+    column, from up to ``sample_rows`` rows read out of three row
+    groups spread across the file (head / middle / tail — robust to a
+    key-clustered head).  One ``pc.value_counts`` over the sample; the
+    result is memoized per (path, column) since inputs are immutable
+    within a run.  This is the cheap skew detector behind
+    :func:`auto_salt_count` — the reference's own partitioner has no
+    skew handling at all (``src/tools/Partitioner.java:62-132``)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    key = (path, column)
+    cached = _HOT_SHARE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    pf = pq.ParquetFile(path)
+    ng = pf.metadata.num_row_groups
+    if ng == 0 or pf.metadata.num_rows == 0:
+        _HOT_SHARE_CACHE[key] = 0.0
+        return 0.0
+    chunks = []
+    got = 0
+    for g in sorted({0, ng // 2, ng - 1}):
+        arr = pf.read_row_group(g, columns=[column])[column]
+        if got + len(arr) > sample_rows:
+            arr = arr.slice(0, sample_rows - got)
+        chunks.append(arr)
+        got += len(arr)
+        if got >= sample_rows:
+            break
+    sample = pa.concat_arrays(
+        [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+         for c in chunks]
+    )
+    if len(sample) == 0:
+        share = 0.0
+    else:
+        vc = pc.value_counts(sample)
+        share = pc.max(vc.field("counts")).as_py() / len(sample)
+    _HOT_SHARE_CACHE[key] = share
+    return share
+
+
+def auto_salt_count(path: str, column: str,
+                    *, target_rows_per_bucket: int | None = None) -> int:
+    """Skew-derived sub-bucket count for the additive-partial joins
+    (power of two, capped at ``MAX_SALT``): if the hottest key's
+    estimated total rows (sampled share × metadata row count) exceed
+    the per-bucket row target, salt until the hottest key's expected
+    rows per (bucket, salt) fit the target; uniform keys derive salt 1
+    (no replication cost).  ``GRAFT_JOIN_SALT``, when set, overrides
+    the probe (forced A/B and the salt-invariance tests)."""
+    env = os.environ.get("GRAFT_JOIN_SALT")
+    if env is not None:
+        return next_pow2(int(env))
+    target = target_rows_per_bucket or int(
+        os.environ.get("GRAFT_ROWS_PER_BUCKET", TARGET_ROWS_PER_BUCKET)
+    )
+    hot_rows = hot_key_share(path, column) * parquet_rows(path)
+    need = -(-int(hot_rows) // max(1, int(target)))  # ceil div
+    return max(1, min(next_pow2(need), MAX_SALT))
 
 
 def parquet_rows(*paths: str) -> int:

@@ -16,10 +16,10 @@ import ray.data
 
 from ..sources.tables import read_parquet_clean
 from ..functions.partitioning import (
+    auto_salt_count,
     bucket_count,
     next_pow2,
     parquet_rows,
-    salt_count,
 )
 from ray.data.aggregate import Count, Mean, Sum
 
@@ -256,7 +256,7 @@ def q_join_shuffle(sf_dir: str):
 
     Scale posture: B is derived from the two tables' parquet row counts
     (≤ ~target rows ⇒ ≤ ~50 MB pandas per group at ~100 B/row, B-way
-    parallel).  Hot orderkeys additionally split into ``salt_count()``
+    parallel).  Hot orderkeys additionally split into ``auto_salt_count()``
     sub-buckets — lineitem rows round-robin across salts, each orders
     row (1 per key) replicated into all of them; the per-bucket output
     is an additive partial sum, so any salt assignment is exact."""
@@ -265,7 +265,7 @@ def q_join_shuffle(sf_dir: str):
     B = bucket_count(
         parquet_rows(f"{sf_dir}/orders.parquet", f"{sf_dir}/lineitem.parquet")
     )
-    S = salt_count()
+    S = auto_salt_count(f"{sf_dir}/lineitem.parquet", "l_orderkey")
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     lineitem = _read(
         sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]
@@ -598,7 +598,7 @@ def q_revenue_by_segment(sf_dir: str):
 
     Scale posture: B size-derived from the two parquet row counts, so
     per-group memory is bounded by the rows-per-bucket target; hot
-    orderkeys split into ``salt_count()`` sub-buckets (orders row
+    orderkeys split into ``auto_salt_count()`` sub-buckets (orders row
     replicated, pre-aggregated fact partials round-robin) — exact
     because the per-bucket output is an additive cents partial."""
     import pandas as pd
@@ -607,7 +607,7 @@ def q_revenue_by_segment(sf_dir: str):
     B = bucket_count(
         parquet_rows(f"{sf_dir}/orders.parquet", f"{sf_dir}/lineitem.parquet")
     )
-    S = salt_count()
+    S = auto_salt_count(f"{sf_dir}/lineitem.parquet", "l_orderkey")
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     cust_tbl = pa.concat_tables(
@@ -2715,7 +2715,7 @@ def q_local_supplier_volume(sf_dir: str):
     B = bucket_count(
         parquet_rows(f"{sf_dir}/orders.parquet", f"{sf_dir}/lineitem.parquet")
     )
-    S = salt_count()
+    S = auto_salt_count(f"{sf_dir}/lineitem.parquet", "l_orderkey")
 
     nation = _read(sf_dir, "nation").to_pandas()
     region = _read(sf_dir, "region").to_pandas()

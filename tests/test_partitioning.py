@@ -119,3 +119,106 @@ def test_salted_join_invariance(ray_session, monkeypatch):
     pd.testing.assert_frame_equal(
         base_rs, _df(relational.q_revenue_by_segment(SF))
     )
+
+
+# -- automatic hot-key salting (r4 verdict #2) ---------------------------------
+
+
+def _write_zipf_tables(tmp_path, hot_frac=0.5, n=4000):
+    """orders/lineitem pair where one orderkey owns ``hot_frac`` of all
+    lineitem rows (forced Zipf head)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(7)
+    n_hot = int(n * hot_frac)
+    keys = np.concatenate(
+        [np.zeros(n_hot, np.int64),
+         rng.randint(1, 500, size=n - n_hot).astype(np.int64)]
+    )
+    rng.shuffle(keys)
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array(keys),
+                "l_extendedprice": pa.array(
+                    rng.uniform(10, 1000, n).round(2)
+                ),
+                "l_discount": pa.array(rng.uniform(0, 0.1, n).round(2)),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    okeys = np.arange(0, 500, dtype=np.int64)
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(okeys),
+                "o_orderpriority": pa.array(
+                    [f"{1 + k % 5}-P" for k in okeys]
+                ),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+
+
+def test_auto_salt_detects_forced_zipf(tmp_path, monkeypatch):
+    """A key owning half the rows must derive salt > 1 as soon as its
+    row mass exceeds the per-bucket target — with NO env flag set."""
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.functions.partitioning import (
+        _HOT_SHARE_CACHE,
+        auto_salt_count,
+        hot_key_share,
+    )
+
+    _write_zipf_tables(tmp_path)
+    monkeypatch.delenv("GRAFT_JOIN_SALT", raising=False)
+    _HOT_SHARE_CACHE.clear()
+    path = str(tmp_path / "lineitem.parquet")
+    share = hot_key_share(path, "l_orderkey")
+    assert 0.4 <= share <= 0.6  # the planted hot key owns ~half
+    # hot key mass 2000 rows, target 100 ⇒ salt ≥ 16 (pow2 of ceil 20)
+    s = auto_salt_count(path, "l_orderkey", target_rows_per_bucket=100)
+    assert s >= 16
+    # uniform-ish tail alone would not trigger: big target ⇒ salt 1
+    assert auto_salt_count(
+        path, "l_orderkey", target_rows_per_bucket=10_000
+    ) == 1
+    # explicit env override beats the probe (forced A/B runs)
+    monkeypatch.setenv("GRAFT_JOIN_SALT", "4")
+    assert auto_salt_count(
+        path, "l_orderkey", target_rows_per_bucket=100
+    ) == 4
+
+
+@pytest.mark.slow
+def test_auto_salted_join_hashes_unchanged(ray_session, tmp_path,
+                                           monkeypatch):
+    """q_join_shuffle on the forced-Zipf pair with auto-derived salt > 1
+    must equal the DuckDB oracle exactly — salting splits buckets, never
+    values — and per-group row mass stays bounded by the salted split."""
+    import duckdb
+
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.functions.partitioning import (
+        _HOT_SHARE_CACHE,
+        auto_salt_count,
+    )
+
+    _write_zipf_tables(tmp_path)
+    monkeypatch.delenv("GRAFT_JOIN_SALT", raising=False)
+    monkeypatch.setenv("GRAFT_ROWS_PER_BUCKET", "100")
+    _HOT_SHARE_CACHE.clear()
+    assert auto_salt_count(
+        str(tmp_path / "lineitem.parquet"), "l_orderkey"
+    ) > 1  # the query below really runs salted
+    out = _df(relational.q_join_shuffle(str(tmp_path)))
+    c = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/{t}.parquet')"
+        )
+    ref = _df(c.execute(relational.SQL_JOIN_SHUFFLE).df())
+    pd.testing.assert_frame_equal(out, ref, check_dtype=False)
