@@ -156,7 +156,14 @@ def distinct(ds):
 
 def intersection(ds, other):
     """#11 (Worker.java:295-355): broadcast-small-side semi-join with
-    value dedup."""
+    value dedup.
+
+    COMPAT-ONLY SCALE WARNING: like the reference (which loads the
+    whole other table into a HashSet per worker), this materializes
+    ``other``'s distinct values on the driver and broadcasts them —
+    faithful to Flame semantics and fine for compat tests, but the
+    idiomatic large-scale path is ``relational.q_intersection`` (and a
+    bucketed co-group when BOTH sides are large)."""
     other_values = set(other.unique("value"))
     ref = ray.put(other_values)
 
@@ -231,7 +238,12 @@ def count(ds) -> int:
 
 
 def collect(ds) -> list[str]:
-    """#16."""
+    """#16.
+
+    COMPAT-ONLY SCALE WARNING: ``take_all`` materializes the dataset on
+    the driver — the Flame ``collect`` contract.  Pipelines must
+    consume with ``iter_batches``/``write_parquet``/aggregates
+    instead."""
     return [r["value"] for r in ds.take_all()]
 
 
