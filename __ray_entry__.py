@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_recall": similarity.q_knn_ivf_recall,
         # the north-rule crawl + downstream jobs
         "crawl_pages": search_pipeline.q_crawl_pages,
+        "crawl_conformance": search_pipeline.q_crawl_conformance,
         "search_index": search_pipeline.q_search_index,
         "search_pagerank": search_pipeline.q_search_pagerank,
         "search_tfidf": search_pipeline.q_search_tfidf,

@@ -81,3 +81,23 @@ def key_decode(s: str) -> str:
             out.append(s[i])
             i += 1
     return "".join(out)
+
+
+def xor_fingerprint_pairs(hashes, urls) -> int:
+    """Order-invariant 64-bit fingerprint of a ``url_hash -> url``
+    mapping: XOR of the top 64 bits of ``md5("hash|url")`` per entry.
+
+    XOR is associative and commutative, so per-shard partials combine
+    with one XOR on the driver — the crawl-conformance scalar never
+    ships the seen/queue sets off their shards (each SeenShard hashes
+    its own slice; the driver folds S 8-byte ints).  Used by both the
+    engine (``SeenShard.fingerprints``) and the reference-semantics
+    oracle side of the conformance tests, so equality of fingerprints
+    is equality of the underlying sets up to md5 collisions (2^-64).
+    """
+    fp = 0
+    for h, u in zip(hashes, urls):
+        fp ^= int.from_bytes(
+            hashlib.md5(f"{h}|{u}".encode("utf-8")).digest()[:8], "big"
+        )
+    return fp

@@ -157,6 +157,56 @@ def _sorted_unique(arr) -> pa.Array:
     return u.take(idx)
 
 
+def spans_fingerprint(pages: pa.Table) -> int:
+    """Order-invariant 64-bit fingerprint over (url_hash, span
+    sequence): XOR of md5 over one canonical string per page row —
+    ``url_hash|kind\\x1ftext\\x1fmedia_ref\\x1foffset;...`` with spans in
+    stored order.  The row strings are built with arrow kernels (flat
+    per-span join + list re-wrap + per-row join); only the md5 fold is
+    a Python loop over final strings.  XOR makes the fold associative,
+    so at scale each wave partition fingerprints independently and the
+    driver folds one int per block."""
+    import hashlib
+
+    if pages.num_rows == 0:
+        return 0
+    import numpy as np
+
+    spans = pages["spans"].combine_chunks()
+    flat = spans.flatten()
+    per_span = pc.binary_join_element_wise(
+        pc.fill_null(flat.field("kind"), ""),
+        pc.fill_null(flat.field("text"), ""),
+        pc.fill_null(flat.field("media_ref"), ""),
+        pc.cast(flat.field("offset"), pa.string()),
+        "\x1f",
+    )
+    # rebuild 0-based offsets from per-row lengths (robust to sliced /
+    # non-zero-offset list arrays, where .offsets would misalign with
+    # flatten()'s output)
+    offs = pa.array(
+        np.concatenate(
+            [
+                [0],
+                np.cumsum(
+                    pc.fill_null(pc.list_value_length(spans), 0).to_numpy(
+                        zero_copy_only=False
+                    )
+                ),
+            ]
+        ).astype(np.int64),
+        pa.int32(),
+    )
+    per_row = pc.binary_join(pa.ListArray.from_arrays(offs, per_span), ";")
+    keyed = pc.binary_join_element_wise(
+        pages["url_hash"].combine_chunks(), per_row, "|"
+    )
+    fp = 0
+    for s in keyed.to_pylist():
+        fp ^= int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big")
+    return fp
+
+
 N_FRONTIER_PARTS = 192  # fixed hostname-hash partition count: identical
 # partitioning at every parallelism level; blocks = groups of partitions
 
@@ -688,6 +738,36 @@ class CrawlEngine:
             "filter_stats": ray.get(
                 [s.get_stats.remote() for s in self.seen_shards]
             ),
+        }
+
+    def conformance_row(self, pages: pa.Table | None = None) -> dict:
+        """One-row conformance scalar for the north-rule pipeline:
+        final seen/queue set fingerprints (per-shard XOR partials
+        folded on the driver — the sets never leave the shards), span
+        fingerprint over the fetched pages, and the wave/page counts.
+        Equality with the reference-semantics oracle's fingerprints is
+        asserted in tests/test_crawl_conformance_query.py; the driver
+        sees the same values via the ``crawl_conformance`` query."""
+        shard_fps = ray.get(
+            [s.fingerprints.remote() for s in self.seen_shards]
+        )
+        visited_fp = queue_fp = 0
+        visited_n = queue_n = 0
+        for d in shard_fps:
+            visited_fp ^= d["visited_fp"]
+            queue_fp ^= d["queue_fp"]
+            visited_n += d["visited_n"]
+            queue_n += d["queue_n"]
+        if pages is None:
+            pages = self.pages_table()
+        return {
+            "pages": self.pages_total,
+            "waves": len(self.waves),
+            "visited": visited_n,
+            "queue": queue_n,
+            "visited_fp": f"{visited_fp:016x}",
+            "queue_fp": f"{queue_fp:016x}",
+            "spans_fp": f"{spans_fingerprint(pages):016x}",
         }
 
     # -- checkpoint / resume (north rule: resumable, lineage) -----------------

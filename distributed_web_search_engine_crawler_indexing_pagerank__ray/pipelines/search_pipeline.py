@@ -21,6 +21,7 @@ def load_texts(sf_dir: str, limit: int = 2000) -> tuple[str, ...]:
 
 
 _CORPUS_MEMO: dict[tuple, "object"] = {}
+_CONF_MEMO: dict[tuple, dict] = {}
 
 
 def crawl_corpus(sf_dir: str, n_docs: int = 600, n_hosts: int = 16,
@@ -45,6 +46,7 @@ def crawl_corpus(sf_dir: str, n_docs: int = 600, n_hosts: int = 16,
     eng = CrawlEngine(cfg, params, n_host_shards=4, n_seen_shards=4)
     eng.run()
     pages = eng.pages_table()  # small corpus: safe in memory
+    _CONF_MEMO[key] = eng.conformance_row(pages)
     eng.cleanup()
     _CORPUS_MEMO[key] = pages
     return pages, eng
@@ -56,6 +58,33 @@ def q_crawl_pages(sf_dir: str) -> pa.Table:
     pages, _ = crawl_corpus(sf_dir)
     return pages.select(
         ["url_hash", "url", "response_code", "content_type", "length", "wave"]
+    )
+
+
+def q_crawl_conformance(sf_dir: str) -> pa.Table:
+    """North-rule conformance as a driver-visible one-row scalar
+    (mirrors ``knn_ivf_recall``'s machine-checked-bound pattern): the
+    crawl's final seen/queue-set fingerprints (per-shard XOR partials,
+    ``state/actors.SeenShard.fingerprints``), span fingerprint, wave
+    and page counts.  tests/test_crawl_conformance_query.py asserts
+    these exact values equal the single-threaded reference-semantics
+    oracle's (``oracle/crawl_oracle.py``) on the same geometry, so a
+    stable row here IS the engine⇔oracle equality proof, visible
+    outside tests/."""
+    key = (sf_dir, 600, 16, 200, 8)
+    if key not in _CONF_MEMO:
+        crawl_corpus(sf_dir)
+    c = _CONF_MEMO[key]
+    return pa.table(
+        {
+            "pages": pa.array([c["pages"]], pa.int64()),
+            "waves": pa.array([c["waves"]], pa.int64()),
+            "visited": pa.array([c["visited"]], pa.int64()),
+            "queue": pa.array([c["queue"]], pa.int64()),
+            "visited_fp": pa.array([c["visited_fp"]], pa.string()),
+            "queue_fp": pa.array([c["queue_fp"]], pa.string()),
+            "spans_fp": pa.array([c["spans_fp"]], pa.string()),
+        }
     )
 
 

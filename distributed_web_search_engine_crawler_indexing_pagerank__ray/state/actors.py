@@ -512,6 +512,24 @@ class SeenShard:
         return pa.table({"url_hash": list(self.visited.keys()),
                          "url": list(self.visited.values())})
 
+    def fingerprints(self) -> dict:
+        """Order-invariant 64-bit fingerprints of THIS shard's visited
+        and queue maps, computed in the actor so the conformance
+        scalar costs one small dict per shard instead of shipping the
+        full seen set to the driver (2.3 M strings at bench scale)."""
+        from ..functions.hasher import xor_fingerprint_pairs
+
+        return {
+            "visited_fp": xor_fingerprint_pairs(
+                self.visited.keys(), self.visited.values()
+            ),
+            "visited_n": len(self.visited),
+            "queue_fp": xor_fingerprint_pairs(
+                self.queue.keys(), self.queue.values()
+            ),
+            "queue_n": len(self.queue),
+        }
+
     def get_stats(self) -> dict:
         f = self.filters.stats()
         return dict(self.stats, visited=len(self.visited),
