@@ -273,11 +273,58 @@ def run_bench() -> dict:
     )
     eng.run()
     crawl_wall = time.time() - t0
+    pages = eng.pages_total
+    attempts = sum(w["attempted"] for w in eng.waves)
+
+    # downstream search jobs over the crawl corpus (the reference's
+    # `pipeline` command chains Indexer → PageRank → TfIdf over the
+    # pt-crawl; timing them here catches regressions in the search
+    # pipelines, not just the curation queries).  Each job reads the
+    # wave=K parquet partitions with its own column subset (the raw
+    # wave rows include re-fetches — <1 % of rows — vs the deduped
+    # pt-crawl view; throughput-equivalent).  BENCH_DOWNSTREAM=0 skips.
+    downstream = {}
+    if os.environ.get("BENCH_DOWNSTREAM", "1") != "0":
+        from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines.index import (
+            build_index,
+        )
+        from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines.pagerank import (
+            run_pagerank,
+        )
+        from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines.tfidf import (
+            run_tfidf,
+        )
+
+        pages_dir = eng.out_dir
+        t0 = time.time()
+        idx = build_index(
+            ray.data.read_parquet(
+                pages_dir, columns=["url", "url_hash", "wave", "page"]
+            ),
+            total_pages=pages,
+        )
+        downstream["index_wall_sec"] = round(time.time() - t0, 3)
+        downstream["index_words"] = idx.num_rows
+        t0 = time.time()
+        pr = run_pagerank(
+            ray.data.read_parquet(pages_dir, columns=["url", "url_hash", "page"])
+        )
+        downstream["pagerank_wall_sec"] = round(time.time() - t0, 3)
+        downstream["pagerank_rows"] = pr.num_rows
+        del pr
+        t0 = time.time()
+        tf = run_tfidf(
+            ray.data.read_parquet(pages_dir, columns=["url", "page"]),
+            idx,
+            total_docs=pages,
+        )
+        downstream["tfidf_wall_sec"] = round(time.time() - t0, 3)
+        downstream["tfidf_rows"] = tf.num_rows
+        del idx, tf
+
     eng.cleanup()  # page payloads are tens of GB at bench scale
     if out_dir:
         shutil.rmtree(out_dir, ignore_errors=True)
-    pages = eng.pages_total
-    attempts = sum(w["attempted"] for w in eng.waves)
 
     # query timings (each returns a Dataset/DataFrame; consume fully)
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -326,6 +373,9 @@ def run_bench() -> dict:
         ],
         "pages_per_sec": round(pages / crawl_wall, 2),
         "attempts_per_sec": round(attempts / crawl_wall, 2),
+        # Indexer/PageRank/TfIdf walls over the crawl corpus (named
+        # entries so search-pipeline regressions show in the JSON)
+        "downstream": downstream,
         # window-health annotation: 1.0 = the healthy-window single-core
         # rate; «0.75 means the VM's burst budget was depleted and the
         # walls above are pessimistic (see HEALTHY_PROBE_RATE)
