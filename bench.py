@@ -418,6 +418,10 @@ def run_scaling() -> dict:
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             BENCH_QUERIES_SKIP="1",
+            # scaling measures the crawl alone; the downstream jobs
+            # would drain ~200 s of burst credits between a pair's two
+            # levels and bias whichever level runs second
+            BENCH_DOWNSTREAM="0",
         )
 
         def _pin() -> None:
