@@ -337,20 +337,6 @@ def q_dedup_minhash(sf_dir: str):
 # the transform on 0-row blocks, so a pandas-format group fn leaks
 # empty pandas blocks downstream and mixes block types at the next
 # sort/union (BlockType assertion failure).
-def _candidate_pairs(g: pa.Table) -> pa.Table:
-    """All (doc_a < doc_b) pairs among the distinct doc_ids of one
-    candidate bucket (an LSH band group or a prefix-shingle group),
-    vectorized (triu index pairs over the sorted distinct ids)."""
-    docs = np.sort(pc.unique(g["doc_id"]).to_numpy(zero_copy_only=False))
-    ia, ib = np.triu_indices(len(docs), k=1)
-    return pa.table(
-        {
-            "doc_a": pa.array(docs[ia].astype(np.int64)),
-            "doc_b": pa.array(docs[ib].astype(np.int64)),
-        }
-    )
-
-
 def _verify_candidate_pairs(sf_dir: str, cand, shingle_k: int, threshold: float):
     """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs —
     fully distributed (no driver-side corpus broadcast); shared by the
@@ -1195,8 +1181,13 @@ WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4)
 
 # -- embedding near-dup, hyperplane-LSH banded (no label assumption) ---------
 
-EMB_LSH_PLANES = 16  # signature bits
-EMB_LSH_BANDS = 4  # 4 bands x 4 bits; any band equal -> candidate
+EMB_LSH_PLANES = 64  # signature bits
+EMB_LSH_BANDS = 8  # 8 bands x 8 bits; any band equal -> candidate
+# Band width is the SELECTIVITY knob: random-pair candidate volume is
+# ~ n^2/2 * bands * 2^-bits_per_band, so 4-bit bands admit ~23 % of ALL
+# pairs (quadratic blowup — measured 517k candidates from 2,000 vectors)
+# while 8-bit bands admit ~3 %, at near-identical recall for true
+# near-dups (any-of-8 collision at cos 0.9 is ~0.93 vs ~0.95 for 4x4).
 EMB_LSH_SEED = 1234
 EMB_QUANT = 1 << 20  # fixed-point quantization scale for the projections
 
@@ -1223,12 +1214,27 @@ def q_dedup_embedding_lsh(sf_dir: str):
     (quantize → ±1-plane dot → sign), banding is deterministic, and
     verification thresholds the 4-digit-rounded cosine exactly like
     q_dedup_embedding.  Approximate RECALL (any-band collision) is the
-    documented LSH tradeoff, unit-tested on planted duplicates."""
+    documented LSH tradeoff, unit-tested on planted duplicates.
+
+    Band-width calibration (8 bands × 8 bits): per-band collision
+    probability for angle θ is (1-θ/π)^8, so any-of-8 recall is ~0.99
+    at cos 0.95 and ~0.93 at cos 0.9 — the true-near-dup operating
+    points — while RANDOM pairs collide with probability 8·2⁻⁸ ≈ 3 %.
+    The previous 4 bands × 4 bits admitted ~23 % of all pairs
+    (measured: 517k candidates from 2,000 sf0.1 vectors — an O(n²)
+    verify-stage blowup at scale).  At the fixture's deliberately-low
+    0.35 threshold (the synthetic embeddings have no true near-dups)
+    recall is ~0.15 — like knn_lsh, on near-random vectors any
+    sublinear candidate generator's recall tracks its scanned
+    fraction; q_dedup_embedding is the exhaustive path.  At 100 TB,
+    grow bits_per_band with log2(corpus) (and regenerate the oracle
+    from the same constants) to keep expected bucket sizes bounded."""
     ds = read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     planes = _emb_lsh_planes()
     bits_per_band = EMB_LSH_PLANES // EMB_LSH_BANDS
+    NB = _dedup_nb(sf_dir, table="embeddings")
 
     def sig(t: pa.Table) -> pa.Table:
         ids = t["vec_id"].to_numpy()
@@ -1251,18 +1257,41 @@ def q_dedup_embedding_lsh(sf_dir: str):
             out_id.append(ids)
             out_band.append(np.full(len(ids), b, dtype=np.int32))
             out_key.append(key)
+        band = np.concatenate(out_band)
+        bkey = np.concatenate(out_key).astype(np.int64)
         return pa.table(
             {
+                # group on a HASH BUCKET of (band, bkey), not the key
+                # itself: the reduce is ~NB vectorized self-merges, not
+                # one Python map_groups call per populated band key
+                "bucket": pa.array(
+                    ((band.astype(np.int64) * 2654435761 + bkey) % NB)
+                    .astype(np.int32)
+                ),
                 "doc_id": pa.array(np.concatenate(out_id), pa.int64()),
-                "band": pa.array(np.concatenate(out_band), pa.int32()),
-                "bkey": pa.array(np.concatenate(out_key).astype(np.int32)),
+                "band": pa.array(band, pa.int32()),
+                "bkey": pa.array(bkey.astype(np.int32)),
+            }
+        )
+
+    def cand_bucket(g: pa.Table) -> pa.Table:
+        # one vectorized self-merge per hash bucket of band keys (the
+        # q_dedup_minhash shape)
+        d = g.to_pandas()[["band", "bkey", "doc_id"]]
+        m = d.merge(d, on=["band", "bkey"])
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        m = m.drop_duplicates(["doc_id_x", "doc_id_y"])
+        return pa.table(
+            {
+                "doc_a": pa.array(m["doc_id_x"].to_numpy(dtype=np.int64)),
+                "doc_b": pa.array(m["doc_id_y"].to_numpy(dtype=np.int64)),
             }
         )
 
     cand = (
         ds.map_batches(sig, batch_format="pyarrow")
-        .groupby(["band", "bkey"])
-        .map_groups(_candidate_pairs, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(cand_bucket, batch_format="pyarrow")
     )
     return _verify_candidate_pairs_embedding(sf_dir, cand)
 
