@@ -286,29 +286,41 @@ def q_dedup_minhash(sf_dir: str):
                 )
                 sig_mat[:, dsort[bnd[lo:hi]]] = mins
                 lo = hi
-        # band keys: 16 tiny md5 calls per doc over the uint64 rows —
-        # the cheap tail; shingle hashing above was the hot part
+        # band keys: the EXACT 4-uint64 band slice as 32 raw bytes
+        # (fixed_size_binary) — no hashing at all, so no 2^-64 band-key
+        # collision caveat, and fully vectorized (one contiguous copy +
+        # buffer view per band instead of 16 md5 calls per doc).
+        # Band-major row order; downstream is a groupby, order-free.
         all_doc = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        band_ids = np.tile(np.arange(NUM_BANDS, dtype=np.int64), ndocs)
-        doc_rep = np.repeat(all_doc, NUM_BANDS)
-        band_hashes = []
-        buckets = np.empty(ndocs * NUM_BANDS, np.int64)
-        i = 0
-        for d in range(ndocs):
-            col = np.ascontiguousarray(sig_mat[:, d])
-            for b in range(NUM_BANDS):
-                h = hashlib.md5(
-                    col[b * rows_per_band : (b + 1) * rows_per_band]
-                    .tobytes()
-                ).hexdigest()[:16]
-                band_hashes.append(h)
-                buckets[i] = (int(h[:8], 16) ^ b) & (NB - 1)
-                i += 1
+        band_ids = np.repeat(np.arange(NUM_BANDS, dtype=np.int32), ndocs)
+        doc_rep = np.tile(all_doc, NUM_BANDS)
+        sig_T = np.ascontiguousarray(sig_mat.T)  # (ndocs, NUM_PERM)
+        key_bytes = rows_per_band * 8
+        band_key_arrays = []
+        bucket_parts = []
+        for b in range(NUM_BANDS):
+            seg = np.ascontiguousarray(
+                sig_T[:, b * rows_per_band : (b + 1) * rows_per_band]
+            )  # (ndocs, rows_per_band) uint64
+            band_key_arrays.append(
+                pa.FixedSizeBinaryArray.from_buffers(
+                    pa.binary(key_bytes), ndocs,
+                    [None, pa.py_buffer(seg.tobytes())],
+                )
+            )
+            # bucket: cheap vectorized mix of the band values — used
+            # only for load balancing, collisions merely co-bucket
+            mix = np.full(ndocs, np.uint64(b * 2654435761 + 1), np.uint64)
+            for j in range(rows_per_band):
+                mix = mix * np.uint64(0x9E3779B97F4A7C15) + seg[:, j]
+            bucket_parts.append(
+                (mix & np.uint64(NB - 1)).astype(np.int32)
+            )
         return pa.table(
             {
-                "bucket": pa.array(buckets.astype(np.int32)),
-                "band_id": pa.array(band_ids.astype(np.int32)),
-                "band_hash": pa.array(band_hashes, pa.string()),
+                "bucket": pa.array(np.concatenate(bucket_parts)),
+                "band_id": pa.array(band_ids),
+                "band_hash": pa.concat_arrays(band_key_arrays),
                 "doc_id": pa.array(doc_rep, pa.int64()),
             }
         )
