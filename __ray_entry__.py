@@ -162,8 +162,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unpivot_revenue": relational.q_unpivot_revenue,
         "mad_outliers": relational.q_mad_outliers,
         "corr_qty_discount": relational.q_corr_qty_discount,
+        "pricing_summary": relational.q_pricing_summary,
+        "split_assign": traindata.q_split_assign,
+        "weighted_sample": traindata.q_weighted_sample,
         # rows-only from here: data-dependent (k-means) or exact
         # reference-semantics oracles run in tests/ instead of SQL
+        "kmeans_embeddings": similarity.q_kmeans_embeddings,
+        "dedup_semantic": dedup.q_dedup_semantic,
         "knn_ivf": similarity.q_knn_ivf,
         "knn_ivf_recall": similarity.q_knn_ivf_recall,
         # the north-rule crawl + downstream jobs
@@ -279,4 +284,7 @@ def oracle_sql() -> dict[str, str]:
         "unpivot_revenue": relational.SQL_UNPIVOT_REVENUE,
         "mad_outliers": relational.SQL_MAD_OUTLIERS,
         "corr_qty_discount": relational.SQL_CORR_QTY_DISCOUNT,
+        "pricing_summary": relational.SQL_PRICING_SUMMARY,
+        "split_assign": traindata.SQL_SPLIT_ASSIGN,
+        "weighted_sample": traindata.SQL_WEIGHTED_SAMPLE,
     }

@@ -200,6 +200,11 @@ QUERY_NAMES = [
     "unpivot_revenue",
     "mad_outliers",
     "corr_qty_discount",
+    "pricing_summary",
+    "split_assign",
+    "weighted_sample",
+    "kmeans_embeddings",
+    "dedup_semantic",
 ]
 
 

@@ -1523,3 +1523,77 @@ JOIN embeddings b ON b.vec_id = c.vec_b
 WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4)
       >= {COSINE_THRESHOLD}
 """
+
+
+# -- semantic dedup (SemDeDup shape: k-means, then within-cluster pairs) ------
+
+
+def q_dedup_semantic(sf_dir: str):
+    """SemDeDup-shaped semantic near-dup pairs (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication", arXiv:2303.09540): k-means partitions the
+    embedding space (``similarity._kmeans_centroids`` — deterministic
+    integer Lloyd), then duplicate candidates are compared WITHIN each
+    cluster only, never across the corpus.  Returns (vec_a, vec_b,
+    cos) with vec_a < vec_b and 4-digit-rounded cosine ≥
+    ``COSINE_THRESHOLD``.
+
+    This is the scale complement to q_dedup_embedding_lsh: LSH banding
+    bounds candidates probabilistically; SemDeDup bounds them
+    STRUCTURALLY — per-cluster work is O(m²) with m ≈ n/k, so k grows
+    with the corpus to keep m (and each map_groups task's memory)
+    bounded.  One shuffle total (the groupby on cluster id).  Recall
+    misses only pairs split across cluster boundaries — the documented
+    SemDeDup tradeoff.
+
+    Non-SQL-expressible (iterative k-means between passes) — rows-only
+    at the driver; planted-cluster dup recovery is unit-tested."""
+    from .similarity import (
+        KMEANS_QUANT,
+        _kmeans_centroids,
+        _stack_embeddings,
+    )
+
+    qc = _kmeans_centroids(sf_dir)
+    qc_ref = ray.put(qc)
+    emb = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids, m = _stack_embeddings(t)
+        q = np.floor(m * float(KMEANS_QUANT) + 0.5).astype(np.int64)
+        c = ray.get(qc_ref)
+        score = (c * c).sum(axis=1)[None, :] - 2 * (q @ c.T)
+        a = np.argmin(score, axis=1)
+        return pa.table(
+            {
+                "cluster": pa.array(a.astype(np.int64)),
+                "vec_id": t["vec_id"],
+                "embedding": t["embedding"],
+            }
+        )
+
+    def pairs_in_cluster(g: pa.Table) -> pa.Table:
+        ids, m = _stack_embeddings(g)
+        order = np.argsort(ids, kind="stable")
+        ids, m = ids[order], m[order]
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        n = m / norms[:, None]
+        s = np.round(n @ n.T, 4)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = s[ia, ib] >= COSINE_THRESHOLD
+        return pa.table(
+            {
+                "vec_a": pa.array(ids[ia[keep]], pa.int64()),
+                "vec_b": pa.array(ids[ib[keep]], pa.int64()),
+                "cos": pa.array(s[ia[keep], ib[keep]], pa.float64()),
+            }
+        )
+
+    return (
+        emb.map_batches(assign, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(pairs_in_cluster, batch_format="pyarrow")
+    )

@@ -3194,3 +3194,118 @@ SELECT l_returnflag,
        / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS r
 FROM s
 """
+
+
+# -- TPC-H Q1 pricing summary (the canonical scan-heavy aggregate) ------------
+
+PRICING_CUTOFF = "2000-09-02"  # l_shipdate spans ~1999-2001 in the fixture
+
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H Q1 pricing summary: per (returnflag, linestatus) sums and
+    averages of quantity / base price / discounted price / charge over
+    lineitem rows shipped on or before ``PRICING_CUTOFF``.
+
+    All money lanes are EXACT integers so every sum is combine-order
+    independent (hash-exact vs SQL at any block split): base price in
+    cents, discounted price in 1e-4 dollars (cents × integer
+    discount-complement percent), charge in 1e-6 dollars (× integer
+    tax percent).  Magnitude bound: price ≤ 1e5 → charge lane ≤ ~1e11
+    per row → int64 holds ~9×10⁷ rows per group per block partial and
+    the final merge; past that, widen to a two-lane 128-bit carry the
+    way q_grouped_moments documents.  The averages divide two exact
+    integers as IEEE doubles — bit-identical on both sides with NO
+    float rounding step.
+
+    Shape: the date filter is pushed into the parquet scan; each block
+    pre-aggregates to ≤ |flag×status| partial rows (arrow group_by);
+    one tiny groupby merges — the Q1 property that the result
+    cardinality is domain-bounded at any input scale."""
+    import datetime
+
+    import pandas as pd
+    import pyarrow.dataset as pads
+
+    cutoff = datetime.datetime.fromisoformat(PRICING_CUTOFF)
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity",
+         "l_extendedprice", "l_discount", "l_tax", "l_shipdate"],
+        filter=pads.field("l_shipdate") <= cutoff,
+    )
+
+    SUMS = ["sum_qty", "sum_base_price_cents", "sum_disc_price_e4",
+            "sum_charge_e6", "sum_disc_pct", "count_order"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.less_equal(t["l_shipdate"], pa.scalar(cutoff, pa.timestamp("us")))
+        )
+        qty = pc.cast(pc.round(t["l_quantity"]), pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())
+        disc = pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)), pa.int64())
+        tax = pc.cast(pc.round(pc.multiply(t["l_tax"], 100.0)), pa.int64())
+        disc_e4 = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()), disc))
+        charge_e6 = pc.multiply(disc_e4, pc.add(pa.scalar(100, pa.int64()), tax))
+        return (
+            pa.table(
+                {
+                    "l_returnflag": t["l_returnflag"],
+                    "l_linestatus": t["l_linestatus"],
+                    "sum_qty": qty,
+                    "sum_base_price_cents": cents,
+                    "sum_disc_price_e4": disc_e4,
+                    "sum_charge_e6": charge_e6,
+                    "sum_disc_pct": disc,
+                    "count_order": pa.array(np.ones(t.num_rows, np.int64)),
+                }
+            )
+            .group_by(["l_returnflag", "l_linestatus"])
+            .aggregate([(c, "sum") for c in SUMS])
+            .rename_columns(["l_returnflag", "l_linestatus"] + SUMS)
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        s = {c: np.int64(g[c].sum()) for c in SUMS}
+        n = float(s["count_order"])
+        return pd.DataFrame(
+            {
+                "l_returnflag": [g["l_returnflag"].iloc[0]],
+                "l_linestatus": [g["l_linestatus"].iloc[0]],
+                **{c: [s[c]] for c in SUMS[:4]},
+                "avg_qty": [float(s["sum_qty"]) / n],
+                "avg_price_cents": [float(s["sum_base_price_cents"]) / n],
+                "avg_disc_pct": [float(s["sum_disc_pct"]) / n],
+                "count_order": [s["count_order"]],
+            }
+        )
+
+    return (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+SQL_PRICING_SUMMARY = f"""
+WITH t AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(round(l_quantity) AS BIGINT) AS q,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
+         CAST(round(l_discount * 100) AS BIGINT) AS d,
+         CAST(round(l_tax * 100) AS BIGINT) AS x
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '{PRICING_CUTOFF}'
+)
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(q) AS BIGINT) AS sum_qty,
+       CAST(sum(c) AS BIGINT) AS sum_base_price_cents,
+       CAST(sum(c * (100 - d)) AS BIGINT) AS sum_disc_price_e4,
+       CAST(sum(c * (100 - d) * (100 + x)) AS BIGINT) AS sum_charge_e6,
+       CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) / count(*) AS avg_qty,
+       CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) / count(*) AS avg_price_cents,
+       CAST(CAST(sum(d) AS BIGINT) AS DOUBLE) / count(*) AS avg_disc_pct,
+       count(*) AS count_order
+FROM t
+GROUP BY l_returnflag, l_linestatus
+"""

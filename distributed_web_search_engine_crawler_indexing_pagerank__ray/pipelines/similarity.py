@@ -1041,3 +1041,136 @@ FROM (
   FROM dots
 ) WHERE rn = 1
 """
+
+
+# -- distributed k-means (Lloyd) over the embedding column --------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 5
+KMEANS_QUANT = 1 << 20  # fixed-point scale; same trick as the LSH paths
+
+
+def _kmeans_centroids(
+    sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> np.ndarray:
+    """int64 ``(k, dim)`` QUANTIZED centroids after ``iters`` Lloyd
+    iterations — every step deterministic, so assignments are
+    reproducible across runs, block splits and worker counts:
+
+    - vectors quantize to int64 (``floor(x·2^20 + 0.5)``), centroids
+      are kept on the same integer grid (re-rounded each update), so
+      the assignment argmin compares EXACT integers
+      (``|qc|² − 2·q·qcᵀ`` via numpy int64 matmul — no BLAS float
+      reduction order in the loop);
+    - per-cluster update sums are int64 partials (order-free), merged
+      on the driver (≤ k·blocks rows of dim+2 ints — never the table);
+      an empty cluster keeps its previous centroid.
+
+    Init is the k lowest vec_ids' vectors (the `_query_rows`
+    convention).  Memoized per (table stamp, k, iters)."""
+    memo_key = ("kmeans", sf_dir, _table_stamp(sf_dir), k, iters)
+    hit = _memo_get(memo_key)
+    if hit is not None:
+        return hit
+
+    seed_rows = _fetch_rows_by_id(sf_dir, _bottom_ids(sf_dir, k))
+    seed_rows = seed_rows.sort_values("vec_id")
+    m0 = np.vstack(seed_rows["embedding"].to_numpy())
+    qc = np.floor(m0 * float(KMEANS_QUANT) + 0.5).astype(np.int64)
+    dim = qc.shape[1]
+
+    ds = _emb(sf_dir)
+    for _ in range(iters):
+        qc_ref = ray.put(qc)
+
+        def part(t: pa.Table) -> pa.Table:
+            ids, m = _stack_embeddings(t)
+            q = np.floor(m * float(KMEANS_QUANT) + 0.5).astype(np.int64)
+            c = ray.get(qc_ref)
+            # exact integer argmin: |c|^2 - 2 q.c (|q|^2 is constant
+            # per row); ties break to the lowest cluster index
+            score = (c * c).sum(axis=1)[None, :] - 2 * (q @ c.T)
+            a = np.argmin(score, axis=1)
+            sums = np.zeros((len(c), dim), dtype=np.int64)
+            np.add.at(sums, a, q)
+            cnt = np.bincount(a, minlength=len(c)).astype(np.int64)
+            cols = {"cluster": pa.array(np.arange(len(c), dtype=np.int64)),
+                    "n": pa.array(cnt)}
+            for d in range(dim):
+                cols[f"s{d}"] = pa.array(sums[:, d])
+            return pa.table(cols)
+
+        p = (
+            ds.map_batches(part, batch_format="pyarrow")
+            .to_pandas()  # ≤ k·blocks rows of dim+2 ints
+            .groupby("cluster", as_index=False)
+            .sum()
+            .sort_values("cluster")
+        )
+        cnt = p["n"].to_numpy()
+        sums = p[[f"s{d}" for d in range(dim)]].to_numpy()
+        new_qc = qc.copy()
+        nz = cnt > 0
+        new_qc[nz] = np.floor(
+            sums[nz] / cnt[nz, None] + 0.5
+        ).astype(np.int64)
+        qc = new_qc
+    return _memo_put(memo_key, qc)
+
+
+def q_kmeans_embeddings(sf_dir: str):
+    """Distributed k-means clustering of the embeddings table (Lloyd,
+    ``KMEANS_ITERS`` iterations, exact integer arithmetic — see
+    ``_kmeans_centroids``): returns per-cluster (cluster, n_vecs,
+    id_sum), where ``id_sum`` is the order-free membership fingerprint
+    (the q_split_assign convention), so the result pins down WHICH
+    vectors each cluster holds.
+
+    Non-SQL-expressible (iterative with a data-dependent model
+    between passes) — rows-only at the driver; the deterministic
+    planted-cluster recovery test is in tests/test_data_pipelines.py.
+
+    Scale: each iteration is one streaming pass (map_batches partials
+    + a ≤ k·blocks driver merge); centroids broadcast once per
+    iteration via ``ray.put``.  Grow k with the corpus so per-cluster
+    row counts stay bounded for downstream per-cluster work
+    (q_dedup_semantic)."""
+    import pandas as pd
+
+    qc = _kmeans_centroids(sf_dir)
+    qc_ref = ray.put(qc)
+
+    def part(t: pa.Table) -> pa.Table:
+        ids, m = _stack_embeddings(t)
+        q = np.floor(m * float(KMEANS_QUANT) + 0.5).astype(np.int64)
+        c = ray.get(qc_ref)
+        score = (c * c).sum(axis=1)[None, :] - 2 * (q @ c.T)
+        a = np.argmin(score, axis=1)
+        return (
+            pa.table(
+                {
+                    "cluster": pa.array(a.astype(np.int64)),
+                    "n_vecs": pa.array(np.ones(len(ids), np.int64)),
+                    "id_sum": pa.array(ids),
+                }
+            )
+            .group_by("cluster")
+            .aggregate([("n_vecs", "sum"), ("id_sum", "sum")])
+            .rename_columns(["cluster", "n_vecs", "id_sum"])
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "cluster": [g["cluster"].iloc[0]],
+                "n_vecs": [np.int64(g["n_vecs"].sum())],
+                "id_sum": [np.int64(g["id_sum"].sum())],
+            }
+        )
+
+    return (
+        _emb(sf_dir)
+        .map_batches(part, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(merge, batch_format="pandas")
+    )

@@ -1199,3 +1199,159 @@ b AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_tokens
 SELECT a.doc_id, a.dup_starts, b.dup_tokens
 FROM a JOIN b USING (doc_id)
 """
+
+
+# -- deterministic corpus splits + weighted sampling --------------------------
+
+SPLIT_BOUNDS = (80, 90)  # md5 % 100: <80 train, <90 val, else test
+WEIGHTED_SAMPLE_K = 40
+
+
+def q_split_assign(sf_dir: str):
+    """Deterministic train/val/test split assignment by content-stable
+    hash: ``md5(doc_id) % 100`` → <80 train, <90 val, else test — the
+    standard way to split a training corpus so membership is stable
+    under re-runs, re-partitioning and incremental ingest (no global
+    sort, no RNG state).  Returns per-split (n_docs, sum_chars,
+    id_sum); ``id_sum`` is an order-free exact membership fingerprint,
+    so the oracle checks WHICH docs landed in each split, not just how
+    many.
+
+    Shape: embarrassingly parallel — each block partial-aggregates to
+    ≤ 3 rows; a tiny groupby merges.  md5 runs once per row (linear,
+    inside map_batches) — the established md5-parity pattern
+    (contamination_check grams)."""
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    lo, hi = SPLIT_BOUNDS
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pct = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.md5(str(i).encode()).digest()[:4], "big"
+                )
+                % 100
+                for i in ids
+            ),
+            dtype=np.int64,
+            count=len(ids),
+        )
+        split = np.where(pct < lo, "train", np.where(pct < hi, "val", "test"))
+        return (
+            pa.table(
+                {
+                    "split": pa.array(split, pa.string()),
+                    "n_docs": pa.array(np.ones(len(ids), np.int64)),
+                    "sum_chars": pc.cast(t["n_chars"], pa.int64()),
+                    "id_sum": pa.array(ids),
+                }
+            )
+            .group_by("split")
+            .aggregate([("n_docs", "sum"), ("sum_chars", "sum"), ("id_sum", "sum")])
+            .rename_columns(["split", "n_docs", "sum_chars", "id_sum"])
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "split": [g["split"].iloc[0]],
+                "n_docs": [np.int64(g["n_docs"].sum())],
+                "sum_chars": [np.int64(g["sum_chars"].sum())],
+                "id_sum": [np.int64(g["id_sum"].sum())],
+            }
+        )
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("split")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+SQL_SPLIT_ASSIGN = f"""
+WITH h AS (
+  SELECT doc_id, n_chars,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+         % 100 AS pct
+  FROM documents
+)
+SELECT CASE WHEN pct < {SPLIT_BOUNDS[0]} THEN 'train'
+            WHEN pct < {SPLIT_BOUNDS[1]} THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM h
+GROUP BY 1
+"""
+
+
+def q_weighted_sample(sf_dir: str):
+    """Deterministic weight-proportional sample WITHOUT replacement —
+    priority sampling (Duffield–Lund–Thorup 2007): each doc draws a
+    deterministic uniform ``u = md5(doc_id)[:8] as uint64`` and gets
+    priority ``key = u / w`` with weight ``w = n_chars``; the sample is
+    the ``WEIGHTED_SAMPLE_K`` smallest keys.  Longer documents are
+    proportionally likelier to be drawn, and the draw is reproducible
+    from doc ids alone — the curation sampler for building a
+    length-weighted subcorpus with no RNG state to ship.
+
+    Hash-exactness: key is ONE IEEE double division of a deterministic
+    uint64 by an integer weight — bit-identical in numpy and DuckDB —
+    and ties break on doc_id on both sides.
+
+    Shape: each block reduces to its local K smallest (lexsort +
+    slice), the global sort+limit touches ≤ K·blocks rows — no full
+    shuffle of the corpus."""
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    K = WEIGHTED_SAMPLE_K
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = np.maximum(
+            t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64), 1
+        )
+        u = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.md5(str(i).encode()).digest()[:8], "big"
+                )
+                for i in ids
+            ),
+            dtype=np.uint64,
+            count=len(ids),
+        )
+        key = u.astype(np.float64) / w.astype(np.float64)
+        keep = np.lexsort((ids, key))[:K]
+        return pa.table(
+            {
+                "key": pa.array(key[keep], pa.float64()),
+                "doc_id": pa.array(ids[keep]),
+                "n_chars": pa.array(w[keep]),
+            }
+        )
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .sort(["key", "doc_id"])
+        .limit(K)
+        .select_columns(["doc_id", "n_chars"])
+    )
+
+
+SQL_WEIGHTED_SAMPLE = f"""
+SELECT doc_id, n_chars
+FROM (
+  SELECT doc_id, GREATEST(n_chars, 1) AS n_chars,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT::DOUBLE
+         / GREATEST(n_chars, 1) AS key
+  FROM documents
+  ORDER BY key, doc_id
+  LIMIT {WEIGHTED_SAMPLE_K}
+)
+"""

@@ -2392,3 +2392,53 @@ def test_dup_spans_gram_key_is_full_digest():
 
     src = inspect.getsource(traindata.q_dup_spans)
     assert '"gh2"' in src and '["gh", "gh2"]' in src
+
+
+def test_kmeans_and_semantic_dedup_on_planted_clusters(tmp_path):
+    """Deterministic k-means + SemDeDup-shaped dedup: exact duplicate
+    vectors quantize identically, so they ALWAYS co-cluster and every
+    planted dup pair must surface with cos 1.0 (the deterministic
+    subset of the SemDeDup contract); cluster sizes and the id_sum
+    fingerprint must partition the input exactly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines import (
+        dedup,
+        similarity,
+    )
+
+    rng = np.random.default_rng(7)
+    dim, per, nc = 64, 50, 3
+    centers = rng.standard_normal((nc, dim)) * 10.0
+    blobs = np.vstack(
+        [centers[c] + 0.01 * rng.standard_normal((per, dim)) for c in range(nc)]
+    )
+    dup_src = [0, per, 2 * per]  # one row per blob
+    m = np.vstack([blobs, blobs[dup_src]])
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(m)), pa.int64()),
+            "embedding": pa.array(list(m), pa.list_(pa.float64())),
+            "label": pa.array(np.zeros(len(m), dtype=np.int64)),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+
+    km = _to_df(similarity.q_kmeans_embeddings(str(tmp_path)))
+    assert km["n_vecs"].sum() == len(m)
+    assert km["id_sum"].sum() == int(np.arange(len(m)).sum())
+    assert (km["cluster"] < similarity.KMEANS_K).all()
+
+    out = _to_df(dedup.q_dedup_semantic(str(tmp_path)))
+    got = set(zip(out["vec_a"], out["vec_b"]))
+    for j, src in enumerate(dup_src):
+        assert (src, nc * per + j) in got, f"planted dup {src} missed"
+    assert (out["cos"] >= dedup.COSINE_THRESHOLD).all()
+    # determinism: a second run (fresh memo key space, same file)
+    # reproduces the exact cluster table
+    km2 = _to_df(similarity.q_kmeans_embeddings(str(tmp_path)))
+    pd.testing.assert_frame_equal(
+        km.sort_values("cluster").reset_index(drop=True),
+        km2.sort_values("cluster").reset_index(drop=True),
+    )
