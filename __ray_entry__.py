@@ -165,10 +165,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": relational.q_pricing_summary,
         "split_assign": traindata.q_split_assign,
         "weighted_sample": traindata.q_weighted_sample,
+        "range_search": similarity.q_range_search,
         # rows-only from here: data-dependent (k-means) or exact
         # reference-semantics oracles run in tests/ instead of SQL
         "kmeans_embeddings": similarity.q_kmeans_embeddings,
         "dedup_semantic": dedup.q_dedup_semantic,
+        "mmr_diversify": similarity.q_mmr_diversify,
         "knn_ivf": similarity.q_knn_ivf,
         "knn_ivf_recall": similarity.q_knn_ivf_recall,
         # the north-rule crawl + downstream jobs
@@ -287,4 +289,5 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": relational.SQL_PRICING_SUMMARY,
         "split_assign": traindata.SQL_SPLIT_ASSIGN,
         "weighted_sample": traindata.SQL_WEIGHTED_SAMPLE,
+        "range_search": similarity.sql_range_search(),
     }

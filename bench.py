@@ -203,8 +203,10 @@ QUERY_NAMES = [
     "pricing_summary",
     "split_assign",
     "weighted_sample",
+    "range_search",
     "kmeans_embeddings",
     "dedup_semantic",
+    "mmr_diversify",
 ]
 
 

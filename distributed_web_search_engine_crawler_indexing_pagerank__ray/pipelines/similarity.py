@@ -1174,3 +1174,114 @@ def q_kmeans_embeddings(sf_dir: str):
         .groupby("cluster")
         .map_groups(merge, batch_format="pandas")
     )
+
+
+# -- radius (range) search + MMR diversification ------------------------------
+
+RANGE_COS = 0.25  # radius; the fixture embeddings are near-random, so
+# this sits ~2σ out on the cos≈N(0, 1/√dim) null — a bounded result set
+
+
+def q_range_search(sf_dir: str):
+    """Radius (range) similarity search — ALL corpus vectors within
+    cosine ``RANGE_COS`` of each fixed query vector (self excluded),
+    the other canonical ANN query shape next to top-k.  Returns
+    (query_id, vec_id, cos) with the 4-digit-rounded cosine.
+
+    Pattern: broadcast the tiny normalized query matrix (``ray.put``),
+    one vectorized matmul + threshold filter per batch — fully
+    streaming, result size is data-dependent rather than k-bounded.
+    At 100 TB the same IVF/LSH candidate prefilters as the knn_*
+    paths apply in front of the exact filter."""
+    qids, qmat = _query_matrix(sf_dir)
+    q_ref = ray.put((qids, qmat))
+
+    def local(t: pa.Table) -> pa.Table:
+        qids_, qmat_ = ray.get(q_ref)
+        ids, m = _stack_embeddings(t)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = np.round((m / norms) @ qmat_.T, 4)  # (n, q)
+        r, c = np.nonzero(
+            (sims >= RANGE_COS) & (ids[:, None] != qids_[None, :])
+        )
+        return pa.table(
+            {
+                "query_id": pa.array(qids_[c], pa.int64()),
+                "vec_id": pa.array(ids[r], pa.int64()),
+                "cos": pa.array(sims[r, c], pa.float64()),
+            }
+        )
+
+    return _emb(sf_dir).map_batches(local, batch_format="pyarrow")
+
+
+def sql_range_search() -> str:
+    return f"""
+WITH q AS (
+    SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+    ORDER BY vec_id LIMIT {N_QUERIES}
+)
+SELECT q.query_id, e.vec_id,
+       round(list_cosine_similarity(e.embedding, q.qe), 4) AS cos
+FROM embeddings e, q
+WHERE round(list_cosine_similarity(e.embedding, q.qe), 4) >= {RANGE_COS}
+  AND e.vec_id != q.query_id
+"""
+
+
+MMR_LAMBDA = 0.5
+MMR_SELECT = 5  # diversified picks per query, drawn from the top-k pool
+
+
+def q_mmr_diversify(sf_dir: str):
+    """Maximal-Marginal-Relevance re-ranking (Carbonell & Goldstein
+    1998) of each query's brute-force top-k pool: greedily pick
+    ``MMR_SELECT`` of the ``TOP_K`` candidates maximizing
+    ``λ·cos(q, d) − (1−λ)·max_{s∈picked} cos(d, s)`` — the standard
+    diversification pass over retrieval results before they feed
+    few-shot selection / dedup-aware sampling.
+
+    Distribution contract: candidate GENERATION is the distributed
+    top-k (per-block partial top-k, ``batches × k`` driver merge);
+    the greedy loop itself runs on the driver over the ≤ queries×k
+    candidate pool with their embeddings fetched by one ``pc.is_in``
+    pass — MMR's sequential dependency makes per-query candidate
+    pools the unit of parallelism, never the corpus.  Deterministic:
+    4-digit-rounded cosines, ties break on vec_id.  Rows-only (the
+    greedy recurrence is not SQL-expressible); exact-vs-reference
+    unit test in tests/test_data_pipelines.py."""
+    pool = q_knn_bruteforce(sf_dir)  # (query_id, vec_id, cos) pandas
+    need = np.unique(pool["vec_id"].to_numpy(np.int64))
+    rows = _fetch_rows_by_id(sf_dir, need).sort_values("vec_id")
+    mat = np.stack(rows["embedding"].to_numpy()).astype(np.float64)
+    nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+    nrm[nrm == 0] = 1.0
+    mat = mat / nrm
+    idx = {int(v): i for i, v in enumerate(rows["vec_id"].to_numpy())}
+
+    out_q, out_v, out_rank = [], [], []
+    for qid, g in pool.groupby("query_id", sort=True):
+        g = g.sort_values(["cos", "vec_id"], ascending=[False, True])
+        cand = g["vec_id"].to_numpy(np.int64)
+        rel = g["cos"].to_numpy(np.float64)
+        cmat = mat[[idx[int(v)] for v in cand]]
+        picked: list[int] = []
+        avail = np.ones(len(cand), bool)
+        max_sim = np.zeros(len(cand))
+        for rank in range(min(MMR_SELECT, len(cand))):
+            score = MMR_LAMBDA * rel - (1 - MMR_LAMBDA) * max_sim
+            score[~avail] = -np.inf
+            # lowest vec_id wins ties: iterate candidates in stored
+            # (cos desc, vec_id asc) order via argmax on the first max
+            best = int(np.argmax(score))
+            picked.append(best)
+            avail[best] = False
+            sims = np.round(cmat @ cmat[best], 4)
+            max_sim = np.maximum(max_sim, sims)
+            out_q.append(int(qid))
+            out_v.append(int(cand[best]))
+            out_rank.append(rank)
+    return pd.DataFrame(
+        {"query_id": out_q, "vec_id": out_v, "rank": out_rank}
+    )

@@ -2442,3 +2442,45 @@ def test_kmeans_and_semantic_dedup_on_planted_clusters(tmp_path):
         km.sort_values("cluster").reset_index(drop=True),
         km2.sort_values("cluster").reset_index(drop=True),
     )
+
+
+def test_mmr_diversify_matches_scalar_reference():
+    """q_mmr_diversify vs an independent scalar MMR implementation
+    over the same brute-force top-k pool: identical picks and ranks
+    (deterministic rounded cosines, first-max tie break)."""
+    from distributed_web_search_engine_crawler_indexing_pagerank__ray.pipelines import similarity as S
+
+    got = _to_df(S.q_mmr_diversify(SF))
+
+    pool = S.q_knn_bruteforce(SF)
+    rows = S._fetch_rows_by_id(
+        SF, np.unique(pool["vec_id"].to_numpy(np.int64))
+    ).sort_values("vec_id")
+    mat = np.stack(rows["embedding"].to_numpy()).astype(np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    emb = {int(v): mat[i] for i, v in enumerate(rows["vec_id"].to_numpy())}
+
+    exp_rows = []
+    for qid, g in pool.groupby("query_id", sort=True):
+        g = g.sort_values(["cos", "vec_id"], ascending=[False, True])
+        cand = [(int(v), float(c)) for v, c in zip(g["vec_id"], g["cos"])]
+        picked = []
+        for rank in range(S.MMR_SELECT):
+            best, best_score = None, None
+            for v, rel in cand:
+                if v in picked:
+                    continue
+                red = max(
+                    (round(float(emb[v] @ emb[p]), 4) for p in picked),
+                    default=0.0,
+                )
+                sc = S.MMR_LAMBDA * rel - (1 - S.MMR_LAMBDA) * red
+                if best_score is None or sc > best_score:
+                    best, best_score = v, sc
+            picked.append(best)
+            exp_rows.append((int(qid), best, rank))
+    exp = pd.DataFrame(exp_rows, columns=["query_id", "vec_id", "rank"])
+    pd.testing.assert_frame_equal(
+        got.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        exp.sort_values(["query_id", "rank"]).reset_index(drop=True),
+    )
