@@ -166,6 +166,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_assign": traindata.q_split_assign,
         "weighted_sample": traindata.q_weighted_sample,
         "range_search": similarity.q_range_search,
+        "forecast_revenue": relational.q_forecast_revenue,
+        "shipping_priority": relational.q_shipping_priority,
+        "promo_revenue": relational.q_promo_revenue,
+        "large_orders": relational.q_large_orders,
         # rows-only from here: data-dependent (k-means) or exact
         # reference-semantics oracles run in tests/ instead of SQL
         "kmeans_embeddings": similarity.q_kmeans_embeddings,
@@ -290,4 +294,8 @@ def oracle_sql() -> dict[str, str]:
         "split_assign": traindata.SQL_SPLIT_ASSIGN,
         "weighted_sample": traindata.SQL_WEIGHTED_SAMPLE,
         "range_search": similarity.sql_range_search(),
+        "forecast_revenue": relational.SQL_FORECAST_REVENUE,
+        "shipping_priority": relational.SQL_SHIPPING_PRIORITY,
+        "promo_revenue": relational.SQL_PROMO_REVENUE,
+        "large_orders": relational.SQL_LARGE_ORDERS,
     }

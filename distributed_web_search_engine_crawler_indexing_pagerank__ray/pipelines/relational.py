@@ -3303,3 +3303,455 @@ SELECT l_returnflag, l_linestatus,
 FROM t
 GROUP BY l_returnflag, l_linestatus
 """
+
+# -- TPC-H Q6 shape: forecast revenue change (filter → global exact sum) ------
+
+Q6_DATE_LO = "1996-01-01"
+Q6_DATE_HI = "1997-01-01"
+Q6_DISC_LO_PCT = 5   # l_discount BETWEEN 0.05 AND 0.07, on the integer
+Q6_DISC_HI_PCT = 7   # percent grid (exact — discounts are 0.00..0.10)
+Q6_QTY_LT = 24
+
+
+def q_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 shape: total ``l_extendedprice * l_discount`` over one
+    ship-date year, a discount band and a quantity cap — the canonical
+    filter-then-global-sum scan (the ref's full-table scan jobs do the
+    per-row equivalent over KVS rows, `src/jobs/` scan pipelines).
+
+    The revenue lane is EXACT: cents × integer discount percent is a
+    1e-4-dollar int64 per row, so the global sum is combine-order
+    independent and the SQL oracle matches bit for bit.  Shape: the
+    date range pushes into the parquet scan (row-group pruning at
+    100 TB), each block reduces to ONE int64 — the whole exchange is
+    ``blocks × 8`` bytes, there is no shuffle at any scale."""
+    import datetime
+
+    import pyarrow.dataset as pads
+
+    lo = datetime.datetime.fromisoformat(Q6_DATE_LO)
+    hi = datetime.datetime.fromisoformat(Q6_DATE_HI)
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_extendedprice", "l_discount", "l_quantity", "l_shipdate"],
+        filter=(pads.field("l_shipdate") >= lo)
+        & (pads.field("l_shipdate") < hi),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        ok = pc.and_(
+            pc.greater_equal(t["l_shipdate"], pa.scalar(lo, pa.timestamp("us"))),
+            pc.less(t["l_shipdate"], pa.scalar(hi, pa.timestamp("us"))),
+        )
+        ok = pc.and_(ok, pc.less(t["l_quantity"], pa.scalar(float(Q6_QTY_LT))))
+        dpct = pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)), pa.int64())
+        ok = pc.and_(ok, pc.greater_equal(dpct, pa.scalar(Q6_DISC_LO_PCT, pa.int64())))
+        ok = pc.and_(ok, pc.less_equal(dpct, pa.scalar(Q6_DISC_HI_PCT, pa.int64())))
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())
+        e4 = pc.sum(pc.multiply(pc.filter(cents, ok), pc.filter(dpct, ok)))
+        v = e4.as_py() or 0
+        return pa.table({"rev_e4": pa.array([v], pa.int64())})
+
+    total = li.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("rev_e4", alias_name="rev_e4")
+    )
+    e4 = int(total["rev_e4"] or 0) if total else 0
+    return pa.table(
+        {"revenue": pa.array([round(e4 / 10000.0, 2)], pa.float64())}
+    )
+
+
+SQL_FORECAST_REVENUE = f"""
+WITH t AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
+         CAST(round(l_discount * 100) AS BIGINT) AS d
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{Q6_DATE_LO}'
+    AND l_shipdate < TIMESTAMP '{Q6_DATE_HI}'
+    AND l_quantity < {Q6_QTY_LT}
+)
+SELECT round(CAST(sum(c * d) AS DOUBLE) / 10000.0, 2) AS revenue
+FROM t
+WHERE d BETWEEN {Q6_DISC_LO_PCT} AND {Q6_DISC_HI_PCT}
+"""
+
+
+# -- TPC-H Q3 shape: shipping priority (2 broadcasts + 1 co-bucketed join) ----
+
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = "1996-07-01"
+Q3_TOPN = 10
+
+
+def q_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape: top-10 unshipped orders by discounted revenue for
+    one market segment — customer ⋈ orders ⋈ lineitem with a date split
+    (orders before D, lineitems shipped after D).
+
+    Plan for 100 TB: customers collapse to a pruned int64 custkey SET
+    broadcast once via ``ray.put`` (segment selectivity ~1/5 — ids
+    only, no shuffle); orders push the date filter into the scan, drop
+    non-segment customers against the broadcast, and co-bucket by
+    ``orderkey & (B-1)`` carrying (orderdate, priority); lineitem
+    pre-aggregates per block to (orderkey → exact 1e-4-dollar revenue
+    partial) before the same bucketing, with hot orderkeys salted by
+    `auto_salt_count`.  Each bucket joins and emits only its local
+    top-10, so the driver merge touches ≤ B·S·10 rows at any scale."""
+    import datetime
+
+    import pandas as pd
+    import pyarrow.dataset as pads
+
+    d = datetime.datetime.fromisoformat(Q3_DATE)
+    B = bucket_count(
+        parquet_rows(f"{sf_dir}/orders.parquet", f"{sf_dir}/lineitem.parquet")
+    )
+    S = auto_salt_count(f"{sf_dir}/lineitem.parquet", "l_orderkey")
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    ckeys = pa.array(
+        cust[cust["c_mktsegment"] == Q3_SEGMENT]["c_custkey"]
+        .to_numpy(np.int64),
+        pa.int64(),
+    )
+    cust_ref = ray.put(ckeys)
+
+    orders = _read(
+        sf_dir, "orders",
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        filter=pads.field("o_orderdate") < d,
+    )
+    lineitem = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=pads.field("l_shipdate") > d,
+    )
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        keep = pc.is_valid(pc.index_in(t["o_custkey"], value_set=ray.get(cust_ref)))
+        t = t.filter(keep)
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ridx, bucket = _salted_buckets(k, B, S, replicate=True)
+        ridx_a = pa.array(ridx)
+        return pa.table(
+            {
+                "bucket": pa.array(bucket, pa.int32()),
+                "key": pa.array(k[ridx], pa.int64()),
+                "side": pa.array(["o"] * len(ridx), pa.string()),
+                "odate": pc.take(t["o_orderdate"], ridx_a),
+                "prio": pc.take(t["o_orderpriority"], ridx_a),
+                "rev_e4": pa.nulls(len(ridx), pa.int64()),
+            }
+        )
+
+    def tag_lineitem(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())
+        dpct = pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)), pa.int64())
+        e4 = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()), dpct))
+        part = (
+            pa.table({"key": t["l_orderkey"], "rev_e4": e4})
+            .group_by("key")
+            .aggregate([("rev_e4", "sum")])
+            .rename_columns(["key", "rev_e4"])
+        )
+        k = part["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        _, bucket = _salted_buckets(k, B, S, replicate=False)
+        n = part.num_rows
+        return pa.table(
+            {
+                "bucket": pa.array(bucket, pa.int32()),
+                "key": pa.array(k, pa.int64()),
+                "side": pa.array(["l"] * n, pa.string()),
+                "odate": pa.nulls(n, pa.timestamp("us")),
+                "prio": pa.nulls(n, pa.string()),
+                "rev_e4": part["rev_e4"],
+            }
+        )
+
+    tagged = orders.map_batches(tag_orders, batch_format="pyarrow").union(
+        lineitem.map_batches(tag_lineitem, batch_format="pyarrow")
+    )
+
+    def bucket_topn(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == "o"][["key", "odate", "prio"]]
+        right = g[g["side"] == "l"][["key", "rev_e4"]]
+        m = right.merge(left, on="key", how="inner")
+        if len(m) == 0:
+            return pd.DataFrame(
+                {
+                    "l_orderkey": pd.Series(dtype="int64"),
+                    "rev_e4": pd.Series(dtype="int64"),
+                    "o_orderdate": pd.Series(dtype="datetime64[us]"),
+                    "o_orderpriority": pd.Series(dtype="object"),
+                }
+            )
+        agg = m.groupby(["key", "odate", "prio"], as_index=False)["rev_e4"].sum()
+        agg = agg.sort_values(["rev_e4", "key"], ascending=[False, True]).head(Q3_TOPN)
+        return pd.DataFrame(
+            {
+                "l_orderkey": agg["key"].to_numpy(np.int64),
+                "rev_e4": agg["rev_e4"].to_numpy(np.int64),
+                "o_orderdate": agg["odate"].to_numpy(),
+                "o_orderpriority": agg["prio"].to_numpy(),
+            }
+        )
+
+    partial = tagged.groupby("bucket").map_groups(
+        bucket_topn, batch_format="pandas"
+    )
+    # driver merge over ≤ B·S·10 candidate rows (bounded at any scale);
+    # salted sub-buckets of one key hold additive partials, so re-sum
+    # per (key, odate, prio) before ranking.
+    pdf = partial.to_pandas()
+    if len(pdf):
+        pdf = pdf.groupby(
+            ["l_orderkey", "o_orderdate", "o_orderpriority"], as_index=False
+        )["rev_e4"].sum()
+    top = pdf.sort_values(["rev_e4", "l_orderkey"], ascending=[False, True]).head(
+        Q3_TOPN
+    )
+    return pa.table(
+        {
+            "l_orderkey": pa.array(top["l_orderkey"].to_numpy(np.int64), pa.int64()),
+            "revenue": pa.array(
+                (top["rev_e4"].to_numpy(np.int64) / 10000.0).round(2), pa.float64()
+            ),
+            "o_orderdate": pa.array(top["o_orderdate"], pa.timestamp("us")),
+            "o_orderpriority": pa.array(top["o_orderpriority"], pa.string()),
+        }
+    )
+
+
+SQL_SHIPPING_PRIORITY = f"""
+WITH t AS (
+  SELECT l_orderkey,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS e4,
+         o_orderdate, o_orderpriority
+  FROM customer, orders, lineitem
+  WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+    AND c_mktsegment = '{Q3_SEGMENT}'
+    AND o_orderdate < TIMESTAMP '{Q3_DATE}'
+    AND l_shipdate > TIMESTAMP '{Q3_DATE}'
+)
+SELECT l_orderkey,
+       round(CAST(sum(e4) AS DOUBLE) / 10000.0, 2) AS revenue,
+       o_orderdate, o_orderpriority
+FROM t
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY sum(e4) DESC, l_orderkey
+LIMIT {Q3_TOPN}
+"""
+
+
+# -- TPC-H Q14 shape: promotion revenue share (broadcast flag lookup) ---------
+
+Q14_DATE_LO = "1996-09-01"
+Q14_DATE_HI = "1996-10-01"
+Q14_PROMO_PREFIX = "PROMO"
+
+
+def q_promo_revenue(sf_dir: str):
+    """TPC-H Q14 shape: the share of one ship-month's discounted
+    revenue that comes from PROMO-type parts — a fact ⋈ dimension join
+    where only ONE BIT of the dimension survives projection.
+
+    Plan for 100 TB: part collapses to (partkey int64[], is_promo
+    bool[]) broadcast once via ``ray.put`` — ids + flags only, ~9 bytes
+    a part, so even a 100 TB-scale part table (~2×10⁹ keys) is a
+    ~18 GB object-store read shared by all tasks, vs re-shuffling a
+    30×-larger lineitem; the month filter pushes into the scan; each
+    block reduces to TWO exact int64s (promo / total 1e-4-dollar
+    lanes), no shuffle.  If part ever outgrew broadcast, the fallback
+    is the `q_join_shuffle` co-bucketing — documented, not needed at
+    TPC-H fan-ins."""
+    import datetime
+
+    import pyarrow.dataset as pads
+
+    lo = datetime.datetime.fromisoformat(Q14_DATE_LO)
+    hi = datetime.datetime.fromisoformat(Q14_DATE_HI)
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
+    pkeys = pa.array(part["p_partkey"].to_numpy(np.int64), pa.int64())
+    promo = pa.array(
+        part["p_type"].str.startswith(Q14_PROMO_PREFIX).to_numpy(bool),
+        pa.bool_(),
+    )
+    part_ref = ray.put((pkeys, promo))
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=(pads.field("l_shipdate") >= lo)
+        & (pads.field("l_shipdate") < hi),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys, flags = ray.get(part_ref)
+        idx = pc.index_in(t["l_partkey"], value_set=keys)
+        isp = pc.take(flags, idx)
+        keep = pc.is_valid(isp)  # inner-join semantics on the FK
+        t = t.filter(keep)
+        isp = pc.filter(isp, keep)
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())
+        dpct = pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)), pa.int64())
+        e4 = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()), dpct))
+        tot = pc.sum(e4).as_py() or 0
+        pro = pc.sum(pc.filter(e4, isp)).as_py() or 0
+        return pa.table(
+            {
+                "promo_e4": pa.array([pro], pa.int64()),
+                "total_e4": pa.array([tot], pa.int64()),
+            }
+        )
+
+    agg = li.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("promo_e4", alias_name="promo_e4"),
+        Sum("total_e4", alias_name="total_e4"),
+    )
+    pro = int(agg["promo_e4"] or 0) if agg else 0
+    tot = int(agg["total_e4"] or 0) if agg else 0
+    ratio = round(100.0 * pro / tot, 4) if tot else None
+    return pa.table({"promo_ratio": pa.array([ratio], pa.float64())})
+
+
+SQL_PROMO_REVENUE = f"""
+WITH t AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS e4,
+         (p_type LIKE '{Q14_PROMO_PREFIX}%') AS isp
+  FROM lineitem, part
+  WHERE l_partkey = p_partkey
+    AND l_shipdate >= TIMESTAMP '{Q14_DATE_LO}'
+    AND l_shipdate < TIMESTAMP '{Q14_DATE_HI}'
+)
+SELECT round(
+    100.0 * CAST(sum(CASE WHEN isp THEN e4 ELSE 0 END) AS DOUBLE)
+          / CAST(sum(e4) AS DOUBLE), 4) AS promo_ratio
+FROM t
+"""
+
+
+# -- TPC-H Q18 shape: large-volume orders (having-filter then rehydrate) ------
+
+Q18_QTY_GT = 250
+Q18_TOPN = 100
+
+
+def q_large_orders(sf_dir: str):
+    """TPC-H Q18 shape: orders whose total lineitem quantity exceeds a
+    threshold, rehydrated with customer name and order header, top-N by
+    order value — the classic "aggregate a huge fact, then join only
+    the survivors" plan.
+
+    Plan for 100 TB: lineitem pre-aggregates (orderkey → int qty sum)
+    per block, co-buckets by ``orderkey & (B-1)`` (additive partials —
+    salting-safe), and each bucket emits only keys over the threshold;
+    the survivor set is tiny BY CONSTRUCTION (having-selectivity ~1 %),
+    so it broadcasts back via ``ray.put`` and both rehydration joins
+    (orders header, customer name) are broadcast-semi scans — the only
+    shuffle in the whole query is the one qty exchange."""
+    import pandas as pd
+
+    B = bucket_count(parquet_rows(f"{sf_dir}/lineitem.parquet"))
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        qty = pc.cast(pc.round(t["l_quantity"]), pa.int64())
+        part = (
+            pa.table({"key": t["l_orderkey"], "qty": qty})
+            .group_by("key")
+            .aggregate([("qty", "sum")])
+            .rename_columns(["key", "qty"])
+        )
+        bucket = pc.bit_wise_and(part["key"], pa.scalar(B - 1, pa.int64()))
+        return pa.table(
+            {"bucket": pc.cast(bucket, pa.int32()), "key": part["key"],
+             "qty": part["qty"]}
+        )
+
+    def bucket_survivors(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("key", as_index=False)["qty"].sum()
+        agg = agg[agg["qty"] > Q18_QTY_GT]
+        return pd.DataFrame(
+            {"o_orderkey": agg["key"].to_numpy(np.int64),
+             "sum_qty": agg["qty"].to_numpy(np.int64)}
+        )
+
+    surv = (
+        li.map_batches(qty_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_survivors, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(surv) == 0:
+        return pa.table(
+            {
+                "c_name": pa.array([], pa.string()),
+                "c_custkey": pa.array([], pa.int64()),
+                "o_orderkey": pa.array([], pa.int64()),
+                "o_orderdate": pa.array([], pa.timestamp("us")),
+                "o_totalprice": pa.array([], pa.float64()),
+                "sum_qty": pa.array([], pa.int64()),
+            }
+        )
+    surv_ref = ray.put(
+        pa.array(surv["o_orderkey"].to_numpy(np.int64), pa.int64())
+    )
+
+    def orders_hydrate(t: pa.Table) -> pa.Table:
+        keep = pc.is_valid(pc.index_in(t["o_orderkey"], value_set=ray.get(surv_ref)))
+        return t.filter(keep)
+
+    odf = (
+        _read(sf_dir, "orders",
+              ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+        .map_batches(orders_hydrate, batch_format="pyarrow")
+        .to_pandas()
+    )
+    ckeys_ref = ray.put(
+        pa.array(np.unique(odf["o_custkey"].to_numpy(np.int64)), pa.int64())
+    )
+
+    def cust_hydrate(t: pa.Table) -> pa.Table:
+        keep = pc.is_valid(pc.index_in(t["c_custkey"], value_set=ray.get(ckeys_ref)))
+        return t.filter(keep)
+
+    cdf = (
+        _read(sf_dir, "customer", ["c_custkey", "c_name"])
+        .map_batches(cust_hydrate, batch_format="pyarrow")
+        .to_pandas()
+    )
+    m = (
+        odf.merge(surv, on="o_orderkey")
+        .merge(cdf, left_on="o_custkey", right_on="c_custkey")
+        .sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
+        .head(Q18_TOPN)
+    )
+    return pa.table(
+        {
+            "c_name": pa.array(m["c_name"], pa.string()),
+            "c_custkey": pa.array(m["c_custkey"].to_numpy(np.int64), pa.int64()),
+            "o_orderkey": pa.array(m["o_orderkey"].to_numpy(np.int64), pa.int64()),
+            "o_orderdate": pa.array(m["o_orderdate"], pa.timestamp("us")),
+            "o_totalprice": pa.array(m["o_totalprice"].to_numpy(np.float64), pa.float64()),
+            "sum_qty": pa.array(m["sum_qty"].to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
+SQL_LARGE_ORDERS = f"""
+WITH s AS (
+  SELECT l_orderkey, CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+         AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(round(l_quantity) AS BIGINT)) > {Q18_QTY_GT}
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM s, orders, customer
+WHERE o_orderkey = l_orderkey AND c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT {Q18_TOPN}
+"""
