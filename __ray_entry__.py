@@ -170,6 +170,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority": relational.q_shipping_priority,
         "promo_revenue": relational.q_promo_revenue,
         "large_orders": relational.q_large_orders,
+        "dsir_weights": traindata.q_dsir_weights,
+        "new_users_daily": events.q_new_users_daily,
+        "rare_token_docs": textpipe.q_rare_token_docs,
+        "centroid_assign": similarity.q_centroid_assign,
         # rows-only from here: data-dependent (k-means) or exact
         # reference-semantics oracles run in tests/ instead of SQL
         "kmeans_embeddings": similarity.q_kmeans_embeddings,
@@ -298,4 +302,8 @@ def oracle_sql() -> dict[str, str]:
         "shipping_priority": relational.SQL_SHIPPING_PRIORITY,
         "promo_revenue": relational.SQL_PROMO_REVENUE,
         "large_orders": relational.SQL_LARGE_ORDERS,
+        "dsir_weights": traindata.SQL_DSIR_WEIGHTS,
+        "new_users_daily": events.SQL_NEW_USERS_DAILY,
+        "rare_token_docs": textpipe.SQL_RARE_TOKEN_DOCS,
+        "centroid_assign": similarity.sql_centroid_assign(),
     }

@@ -2132,3 +2132,81 @@ SELECT user_id,
 FROM s WHERE nxt_s IS NOT NULL
 GROUP BY user_id
 """
+
+
+# -- daily new-user acquisition curve (first-touch attribution) ---------------
+
+
+def q_new_users_daily(sf_dir: str):
+    """New users per calendar day (the day of each user's FIRST event)
+    plus the running cumulative total — the acquisition curve every
+    growth dashboard starts from.
+
+    Shape: each block pre-reduces to (user → min ts) with one arrow
+    ``group_by`` (≤ users-in-block rows leave the block), a
+    ``groupby(user_id).min`` merges the partials — the only shuffle,
+    keyed on user exactly like `q_keep_latest` — then first-days
+    re-reduce per block to a ≤ |days| histogram and the driver merges
+    domain-bounded (day, count) partials and takes the cumulative sum
+    over the sorted ≤ |days| rows.  Nothing driver-side grows with the
+    user count."""
+    from ray.data.aggregate import Min
+
+    ev = _events(sf_dir, ["user_id", "ts"])
+
+    def first_partial(t: pa.Table) -> pa.Table:
+        return (
+            pa.table({"user_id": t["user_id"], "ts": t["ts"]})
+            .group_by("user_id")
+            .aggregate([("ts", "min")])
+            .rename_columns(["user_id", "ts"])
+        )
+
+    firsts = (
+        ev.map_batches(first_partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Min("ts", alias_name="first_ts"))
+    )
+
+    def day_partial(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t["first_ts"], unit="day")
+        return (
+            pa.table(
+                {
+                    "day": day,
+                    "c": pa.array(np.ones(t.num_rows, np.int64)),
+                }
+            )
+            .group_by("day")
+            .aggregate([("c", "sum")])
+            .rename_columns(["day", "c"])
+        )
+
+    # ≤ blocks × |days| partial rows; |days| is domain-bounded (the
+    # table's time extent), so the driver merge is O(days)
+    pdf = (
+        firsts.map_batches(day_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("day", as_index=False)["c"]
+        .sum()
+        .sort_values("day")
+    )
+    cum = pdf["c"].to_numpy(np.int64).cumsum()
+    return pa.table(
+        {
+            "day": pa.array(pdf["day"], pa.timestamp("us")),
+            "new_users": pa.array(pdf["c"].to_numpy(np.int64), pa.int64()),
+            "cum_users": pa.array(cum, pa.int64()),
+        }
+    )
+
+
+SQL_NEW_USERS_DAILY = """
+WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id),
+d AS (SELECT CAST(date_trunc('day', first_ts) AS TIMESTAMP) AS day,
+             count(*) AS new_users
+      FROM f GROUP BY 1)
+SELECT day, new_users,
+       CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
+FROM d
+"""

@@ -1285,3 +1285,123 @@ def q_mmr_diversify(sf_dir: str):
     return pd.DataFrame(
         {"query_id": out_q, "vec_id": out_v, "rank": out_rank}
     )
+
+
+# -- fixed-centroid assignment census (the E-step as one scan) ----------------
+
+N_CENTROIDS = 8  # the N lowest vec_ids serve as the fixed centroid set
+
+
+def q_centroid_assign(sf_dir: str):
+    """Assign every vector to its nearest of ``N_CENTROIDS`` fixed
+    centroids (the lowest vec_ids — a deterministic seed set) by
+    cosine, and report each centroid's population and mean similarity
+    — the E-step of k-means / the router census of an IVF build, as a
+    single broadcast-and-scan with NO shuffle.
+
+    Determinism contract: raw cosines quantize ONCE, half-up onto an
+    e4 integer grid (``floor(cos·1e4 + 0.5)`` on BOTH sides — a
+    round-then-requantize double rounding would flip boundary values),
+    the argmax runs over those integers with ties to the lowest
+    centroid id (numpy ``argmax`` takes the first maximum over the
+    id-ordered columns; SQL orders by ``e4 DESC, cid``), and each
+    block reduces to ≤ K exact (count, sum) int64 partials — the
+    driver's final mean is ONE deterministic float expression per
+    centroid."""
+    cdf = _query_rows_k(sf_dir, N_CENTROIDS)
+    c = np.stack(cdf["embedding"].to_numpy()).astype(np.float64)
+    cn = np.linalg.norm(c, axis=1, keepdims=True)
+    cn[cn == 0] = 1.0
+    cids = cdf["vec_id"].to_numpy().astype(np.int64)
+    c_ref = ray.put((cids, c / cn))
+
+    def census(t: pa.Table) -> pa.Table:
+        cids_, cmat = ray.get(c_ref)
+        ids, m = _stack_embeddings(t)
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "centroid_id": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "s_e4": pa.array([], pa.int64()),
+                }
+            )
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        e4m = np.floor(((m / norms) @ cmat.T) * 10000.0 + 0.5).astype(np.int64)
+        best = np.argmax(e4m, axis=1)  # first max → lowest centroid id
+        e4 = e4m[np.arange(len(ids)), best]
+        df = (
+            pd.DataFrame({"cid": cids_[best], "n": 1, "e4": e4})
+            .groupby("cid", as_index=False)
+            .agg(n=("n", "sum"), e4=("e4", "sum"))
+        )
+        return pa.table(
+            {
+                "centroid_id": pa.array(df["cid"].to_numpy(np.int64)),
+                "n": pa.array(df["n"].to_numpy(np.int64)),
+                "s_e4": pa.array(df["e4"].to_numpy(np.int64)),
+            }
+        )
+
+    # ≤ blocks × K additive partial rows — driver merge is O(K)
+    p = _emb(sf_dir).map_batches(census, batch_format="pyarrow").to_pandas()
+    agg = p.groupby("centroid_id", as_index=False).agg(
+        n=("n", "sum"), s=("s_e4", "sum")
+    )
+    n = agg["n"].to_numpy(np.int64)
+    s = agg["s"].to_numpy(np.int64)
+    return pa.table(
+        {
+            "centroid_id": pa.array(agg["centroid_id"].to_numpy(np.int64)),
+            "n_assigned": pa.array(n, pa.int64()),
+            "mean_cos": pa.array(s.astype(np.float64) / n / 10000.0,
+                                 pa.float64()),
+        }
+    )
+
+
+def _query_rows_k(sf_dir: str, k: int) -> pd.DataFrame:
+    """`_query_rows` generalized to the K lowest vec_ids (same
+    distributed bottom-K selection, same memo)."""
+    memo_key = ("query_rows_k", sf_dir, _table_stamp(sf_dir), k)
+    hit = _memo_get(memo_key)
+    if hit is not None:
+        return hit
+
+    def local(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids, kind="stable")[:k]
+        return t.take(pa.array(order))
+
+    p = _emb(sf_dir).map_batches(local, batch_format="pyarrow").to_pandas()
+    out = (
+        p.sort_values("vec_id", kind="mergesort").head(k).reset_index(drop=True)
+    )
+    return _memo_put(memo_key, out)
+
+
+def sql_centroid_assign() -> str:
+    return f"""
+WITH c AS (
+    SELECT vec_id AS cid, embedding AS ce FROM embeddings
+    ORDER BY vec_id LIMIT {N_CENTROIDS}
+),
+s AS (
+    SELECT e.vec_id, c.cid,
+           CAST(floor(list_cosine_similarity(
+                          CAST(e.embedding AS DOUBLE[]),
+                          CAST(c.ce AS DOUBLE[])) * 10000
+                      + 0.5) AS BIGINT) AS e4
+    FROM embeddings e, c
+),
+b AS (
+    SELECT vec_id, cid, e4,
+           row_number() OVER (
+               PARTITION BY vec_id ORDER BY e4 DESC, cid) AS rn
+    FROM s QUALIFY rn = 1
+)
+SELECT cid AS centroid_id, count(*) AS n_assigned,
+       CAST(sum(e4) AS DOUBLE) / count(*) / 10000.0 AS mean_cos
+FROM b GROUP BY cid
+"""

@@ -1067,3 +1067,107 @@ SELECT a.word AS tok_a, b.word AS tok_b
 FROM tok a JOIN tok b
   ON a.word < b.word AND levenshtein(a.word, b.word) <= 1
 """
+
+
+# -- rare-token burden per document (df-tail counting) ------------------------
+
+RARE_DF_MAX = 30  # a token is "rare" if its document frequency is <= this
+
+
+def q_rare_token_docs(sf_dir: str):
+    """Per-document count of its DISTINCT rare tokens — tokens whose
+    corpus document frequency is ≤ ``RARE_DF_MAX`` (the df tail:
+    typos, random identifiers, OCR noise).  A high rare-token count is
+    the complement signal to traindata's `q_lm_unigram_score`
+    in-distribution score.
+
+    Scale note: the df tail is most of a Zipfian vocabulary, so the
+    rare set must NEVER be broadcast or collected.  Shape (=
+    `q_lm_unigram_score`): per-block DISTINCT (doc, word) pairs (docs
+    never span blocks, so block-distinct is globally distinct),
+    word-hash-bucketed ``map_groups`` — each word lands wholly in one
+    bucket, so its df AND the join back to its (doc, word) pairs both
+    happen inside the bucket with vectorized pandas — then a
+    doc-bucketed sum of the per-bucket per-doc partials."""
+    import hashlib
+
+    import numpy as np
+
+    from ..functions.partitioning import bucket_count, parquet_token_estimate
+
+    nb = bucket_count(
+        parquet_token_estimate(f"{sf_dir}/documents.parquet"), min_buckets=32
+    )
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        parents, words = _flat_words(t)
+        docs = pc.take(t["doc_id"].combine_chunks(), parents)
+        distinct = (
+            pa.table({"doc_id": pc.cast(docs, pa.int64()), "word": words})
+            .group_by(["doc_id", "word"])
+            .aggregate([])
+        )
+        w = distinct["word"].to_pandas()
+        bmap = {
+            x: int(hashlib.md5(x.encode()).hexdigest()[:8], 16) & (nb - 1)
+            for x in w.unique()
+        }
+        return distinct.append_column(
+            "bucket", pa.array(w.map(bmap).to_numpy(np.int32), pa.int32())
+        )
+
+    pairs = _docs(sf_dir).map_batches(distinct_pairs, batch_format="pyarrow")
+
+    def rare_bucket(g: pd.DataFrame) -> pa.Table:
+        # df per word is COMPLETE within this bucket (word → one bucket)
+        df = g.groupby("word")["doc_id"].transform("size")
+        rare = g[df.to_numpy() <= RARE_DF_MAX]
+        out = rare.groupby("doc_id", as_index=False).size()
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"].to_numpy(np.int64)),
+                "n": pa.array(out["size"].to_numpy(np.int64)),
+            }
+        )
+
+    def add_doc_bucket(t: pa.Table) -> pa.Table:
+        db = pc.cast(pc.bit_wise_and(t["doc_id"], pa.scalar(nb - 1)), pa.int32())
+        return t.append_column("dbucket", db)
+
+    def sum_doc_bucket(g: pd.DataFrame) -> pa.Table:
+        out = g.groupby("doc_id", as_index=False)["n"].sum()
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"].to_numpy(np.int64)),
+                "n_rare": pa.array(out["n"].to_numpy(np.int64)),
+            }
+        )
+
+    out = (
+        pairs.groupby("bucket")
+        .map_groups(rare_bucket, batch_format="pandas")
+        .map_batches(add_doc_bucket, batch_format="pyarrow")
+        .groupby("dbucket")
+        .map_groups(sum_doc_bucket, batch_format="pandas")
+        .materialize()
+    )
+    if out.count() == 0:
+        # typed empty-schema guard (a df-tail-free corpus yields 0
+        # rows, and an empty Dataset loses its column schema)
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_rare": pa.array([], pa.int64()),
+            }
+        )
+    return out.drop_columns(["dbucket"]) if "dbucket" in out.schema().names else out
+
+
+SQL_RARE_TOKEN_DOCS = f"""
+WITH tok AS (SELECT DISTINCT doc_id, word FROM ({SQL_TOK})),
+f AS (SELECT word, count(*) AS c FROM tok GROUP BY word)
+SELECT doc_id, count(*) AS n_rare
+FROM tok JOIN f USING (word)
+WHERE f.c <= {RARE_DF_MAX}
+GROUP BY doc_id
+"""

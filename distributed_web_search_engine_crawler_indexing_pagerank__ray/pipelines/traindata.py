@@ -1355,3 +1355,240 @@ FROM (
   LIMIT {WEIGHTED_SAMPLE_K}
 )
 """
+
+
+# -- DSIR-style importance weights (Xie et al. 2023 shape) --------------------
+
+DSIR_TARGET_LANG = "en"
+DSIR_GRID = 1_000_000  # fixed-point grid for the per-word log-ratio
+
+
+def q_dsir_weights(sf_dir: str):
+    """Data Selection with Importance Resampling (DSIR, Xie et al.
+    2023) over hashed unigram features: each document's log importance
+    weight ``log w(d) = Σ_t c_t(d)·[log p_target(t) − log p_raw(t)]``
+    with add-1-smoothed unigram LMs, target = the ``lang = 'en'``
+    slice, raw = the whole corpus.  High-weight docs are the ones a
+    target-distribution-matched resampler keeps.
+
+    Hash-exactness: the global smoothing terms factor out of the sum —
+    ``log w = Σ c·[ln(ct+1) − ln(cr+1)] + n_d·K`` with
+    ``K = ln(Nraw+V) − ln(Ntarget+V)`` a single global scalar — so the
+    per-word log-ratio quantizes ONCE onto a 1e-6 integer grid (the
+    `q_embedding_stats` floor-half-up rule) and everything after is
+    exact int64 ``Σ c·q_t`` partials; the only float expression is the
+    final per-row ``floor(p + n·K·1e6 + 0.5)/1e6``, applied in the
+    same operation order as the SQL oracle.
+
+    Shape (= `q_lm_unigram_score`): per-block (doc, word, count)
+    partials with the doc's target flag → word-hash-bucketed
+    ``map_groups`` computes ct/cr/q_t per word INSIDE its bucket (no
+    vocab broadcast, no second exchange) and reduces to per-doc int
+    partials + one bucket vocab-size row → doc-bucketed sum → tiny
+    global aggregate for (Nraw, Ntarget, V) → final vectorized map.
+    Every stage is bucket-bounded; nothing driver-side exceeds
+    O(docs)."""
+    nb = bucket_count(
+        parquet_token_estimate(f"{sf_dir}/documents.parquet"),
+        min_buckets=NB_FLOOR,
+    )
+
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+
+    def doc_counts(t: pa.Table) -> pa.Table:
+        parents, toks = _flat_tokens(t)
+        if len(parents) == 0:
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int32()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "is_t": pa.array([], pa.bool_()),
+                    "word": pa.array([], pa.string()),
+                    "c": pa.array([], pa.int64()),
+                }
+            )
+        wc = (
+            pd.DataFrame({"p": parents, "word": toks})
+            .groupby(["p", "word"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        bmap = {
+            w: int(hashlib.md5(w.encode()).hexdigest()[:8], 16) & (nb - 1)
+            for w in pd.unique(wc["word"])
+        }
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        is_t = pc.equal(
+            t["lang"], pa.scalar(DSIR_TARGET_LANG)
+        ).to_numpy(zero_copy_only=False)
+        p = wc["p"].to_numpy()
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    wc["word"].map(bmap).to_numpy(np.int32), pa.int32()
+                ),
+                "doc_id": pa.array(ids[p], pa.int64()),
+                "is_t": pa.array(is_t[p], pa.bool_()),
+                "word": pa.array(wc["word"], pa.string()),
+                "c": pa.array(wc["c"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    dc = docs.map_batches(doc_counts, batch_format="pyarrow")
+
+    def weight_bucket(g: pd.DataFrame) -> pa.Table:
+        c = g["c"].to_numpy(np.int64)
+        ct = (
+            pd.Series(np.where(g["is_t"].to_numpy(bool), c, 0))
+            .groupby(g["word"].to_numpy())
+            .sum()
+        )
+        cr = pd.Series(c).groupby(g["word"].to_numpy()).sum()
+        qt = np.floor(
+            (np.log(ct.to_numpy(np.float64) + 1.0)
+             - np.log(cr.to_numpy(np.float64) + 1.0)) * DSIR_GRID + 0.5
+        ).astype(np.int64)
+        qmap = pd.Series(qt, index=ct.index)
+        prod = c * qmap.loc[g["word"]].to_numpy(np.int64)
+        out = (
+            pd.DataFrame(
+                {
+                    "doc_id": g["doc_id"].to_numpy(np.int64),
+                    "is_t": g["is_t"].to_numpy(bool),
+                    "n": c,
+                    "p": prod,
+                }
+            )
+            .groupby("doc_id", as_index=False)
+            .agg(is_t=("is_t", "max"), n=("n", "sum"), p=("p", "sum"))
+        )
+        # one vocab-stats sentinel row per bucket: doc_id = -1 carries
+        # this bucket's distinct-word count in ``n``
+        out = pd.concat(
+            [
+                out,
+                pd.DataFrame(
+                    {"doc_id": [-1], "is_t": [False],
+                     "n": [len(ct)], "p": [0]}
+                ),
+            ],
+            ignore_index=True,
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"].to_numpy(np.int64)),
+                "is_t": pa.array(out["is_t"].to_numpy(bool)),
+                "n": pa.array(out["n"].to_numpy(np.int64)),
+                "p": pa.array(out["p"].to_numpy(np.int64)),
+            }
+        )
+
+    def add_doc_bucket(t: pa.Table) -> pa.Table:
+        db = pc.cast(
+            pc.bit_wise_and(t["doc_id"], pa.scalar(nb - 1)), pa.int32()
+        )
+        return t.append_column("dbucket", db)
+
+    def sum_doc_bucket(g: pd.DataFrame) -> pa.Table:
+        out = (
+            g.groupby("doc_id", as_index=False)
+            .agg(is_t=("is_t", "max"), n=("n", "sum"), p=("p", "sum"))
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"].to_numpy(np.int64)),
+                "is_t": pa.array(out["is_t"].to_numpy(bool)),
+                "n": pa.array(out["n"].to_numpy(np.int64)),
+                "p": pa.array(out["p"].to_numpy(np.int64)),
+            }
+        )
+
+    per_doc = (
+        dc.groupby("bucket")
+        .map_groups(weight_bucket, batch_format="pandas")
+        .map_batches(add_doc_bucket, batch_format="pyarrow")
+        .groupby("dbucket")
+        .map_groups(sum_doc_bucket, batch_format="pandas")
+        .materialize()
+    )
+
+    def totals_partial(t: pa.Table) -> pa.Table:
+        real = pc.greater_equal(t["doc_id"], pa.scalar(0, pa.int64()))
+        n = t["n"]
+        return pa.table(
+            {
+                "nr": pa.array(
+                    [pc.sum(pc.filter(n, real)).as_py() or 0], pa.int64()
+                ),
+                "nt": pa.array(
+                    [pc.sum(pc.filter(n, pc.and_(real, t["is_t"]))).as_py()
+                     or 0],
+                    pa.int64(),
+                ),
+                "v": pa.array(
+                    [pc.sum(pc.filter(n, pc.invert(real))).as_py() or 0],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    tot = per_doc.map_batches(totals_partial, batch_format="pyarrow").aggregate(
+        Sum("nr", alias_name="nr"),
+        Sum("nt", alias_name="nt"),
+        Sum("v", alias_name="v"),
+    )
+    nr, nt, v = (int(tot[k] or 0) for k in ("nr", "nt", "v"))
+    k6 = (math.log(nr + v) - math.log(nt + v)) * DSIR_GRID if nr + v else 0.0
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["doc_id"], pa.scalar(0, pa.int64())))
+        p = t["p"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        score = np.floor(p + n * k6 + 0.5) / DSIR_GRID
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pc.cast(t["n"], pa.int64()),
+                "dsir_logw": pa.array(score, pa.float64()),
+            }
+        )
+
+    return per_doc.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_DSIR_WEIGHTS = f"""
+WITH toks AS ({_SQL_TOKLIST}),
+words AS (SELECT doc_id, unnest(l) AS word FROM toks),
+wc0 AS (SELECT doc_id, word, count(*) AS c FROM words GROUP BY doc_id, word),
+wc AS (SELECT wc0.doc_id, wc0.word, wc0.c,
+              (d.lang = '{DSIR_TARGET_LANG}') AS is_t
+       FROM wc0 JOIN documents d ON wc0.doc_id = d.doc_id),
+w AS (SELECT word, CAST(sum(c) AS BIGINT) AS cr,
+             CAST(sum(CASE WHEN is_t THEN c ELSE 0 END) AS BIGINT) AS ct
+      FROM wc GROUP BY word),
+q AS (SELECT word,
+             CAST(floor((ln(CAST(ct + 1 AS DOUBLE))
+                         - ln(CAST(cr + 1 AS DOUBLE)))
+                        * {DSIR_GRID} + 0.5) AS BIGINT) AS qt
+      FROM w),
+tot AS (SELECT CAST(sum(cr) AS BIGINT) AS nr,
+               CAST(sum(ct) AS BIGINT) AS nt,
+               count(*) AS v
+        FROM w),
+agg AS (SELECT wc.doc_id,
+               CAST(sum(wc.c) AS BIGINT) AS n_tokens,
+               CAST(sum(wc.c * q.qt) AS BIGINT) AS p
+        FROM wc JOIN q USING (word)
+        GROUP BY wc.doc_id)
+SELECT doc_id, n_tokens,
+       floor(CAST(p AS DOUBLE)
+             + CAST(n_tokens AS DOUBLE)
+               * ((ln(CAST((SELECT nr FROM tot) + (SELECT v FROM tot)
+                           AS DOUBLE))
+                   - ln(CAST((SELECT nt FROM tot) + (SELECT v FROM tot)
+                             AS DOUBLE))) * {DSIR_GRID})
+             + 0.5) / {DSIR_GRID}.0 AS dsir_logw
+FROM agg
+"""
