@@ -176,6 +176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "centroid_assign": similarity.q_centroid_assign,
         # rows-only from here: data-dependent (k-means) or exact
         # reference-semantics oracles run in tests/ instead of SQL
+        "cdc_chunks": traindata.q_cdc_chunks,
         "kmeans_embeddings": similarity.q_kmeans_embeddings,
         "dedup_semantic": dedup.q_dedup_semantic,
         "mmr_diversify": similarity.q_mmr_diversify,

@@ -1592,3 +1592,171 @@ SELECT doc_id, n_tokens,
              + 0.5) / {DSIR_GRID}.0 AS dsir_logw
 FROM agg
 """
+
+
+# -- content-defined chunking (FastCDC-style gear hash) -----------------------
+
+CDC_MASK = 0xFF     # boundary when (h & mask) == 0 → ~256-byte expected chunk
+CDC_MIN = 64        # no cut closer than this to the previous cut
+CDC_MAX = 1024      # force a cut at this length if no natural boundary
+CDC_WINDOW = 8      # gear window: h_i = Σ_{j<W} GEAR[b_{i-j}] << j
+CDC_GEAR_SEED = 9090
+
+
+def _cdc_gear() -> np.ndarray:
+    """The 256-entry random gear table (uint64), fixed seed."""
+    rng = np.random.RandomState(CDC_GEAR_SEED)
+    lo = rng.randint(0, 1 << 32, size=256, dtype=np.uint64)
+    hi = rng.randint(0, 1 << 32, size=256, dtype=np.uint64)
+    return (hi << np.uint64(32)) | lo
+
+
+def cdc_boundaries(data: bytes) -> list[int]:
+    """Cut positions (exclusive chunk ends) for one byte string —
+    the single-definition rule shared by the distributed kernel and
+    the test simulator:
+
+    - candidate cut AFTER byte i (i ≥ W−1) when
+      ``(Σ_{j<W} GEAR[b[i−j]] << j) & CDC_MASK == 0`` (uint64 wrap);
+    - scanning left to right, a candidate is accepted if the chunk it
+      closes is ≥ CDC_MIN bytes; whenever the running chunk would
+      exceed CDC_MAX bytes a cut is forced at exactly CDC_MAX;
+    - the final partial chunk always ends at ``len(data)``.
+
+    This scalar form is O(n) per doc and exists for tests; the batch
+    kernel computes the same candidates vectorized."""
+    gear = _cdc_gear()
+    n = len(data)
+    cuts: list[int] = []
+    last = 0
+    h = 0
+    for i in range(n):
+        h = 0
+        for j in range(min(CDC_WINDOW, i + 1)):
+            h = (h + (int(gear[data[i - j]]) << j)) & 0xFFFFFFFFFFFFFFFF
+        # forced max-size cut strictly before this position?
+        while i + 1 - last > CDC_MAX:
+            last += CDC_MAX
+            cuts.append(last)
+        if (
+            i + 1 - last >= CDC_MIN
+            and i >= CDC_WINDOW - 1
+            and (h & CDC_MASK) == 0
+        ):
+            cuts.append(i + 1)
+            last = i + 1
+    while n - last > CDC_MAX:
+        last += CDC_MAX
+        cuts.append(last)
+    if last < n:
+        cuts.append(n)
+    return cuts
+
+
+def cdc_fingerprint(chunk: bytes) -> int:
+    """Position-weighted gear fingerprint of one chunk (mod 2^64) —
+    ``Σ GEAR[b_i] · (i+1)`` over 1-based in-chunk positions.  Chosen
+    because the batch kernel can evaluate it for EVERY chunk of a
+    block from two global cumsums (no per-chunk loop)."""
+    gear = _cdc_gear()
+    fp = 0
+    for i, b in enumerate(chunk):
+        fp = (fp + int(gear[b]) * (i + 1)) & 0xFFFFFFFFFFFFFFFF
+    return fp
+
+
+def q_cdc_chunks(sf_dir: str):
+    """Content-defined chunking of every document's UTF-8 bytes with a
+    gear rolling hash (the FastCDC family: Xia et al., USENIX ATC'16)
+    — the dedup-storage primitive that keeps chunk boundaries stable
+    under insertions, so shifted copies still share chunk
+    fingerprints downstream (unlike fixed-size blocks).
+
+    Rows out: (doc_id, chunk_id, start, length, fp) — ``fp`` the
+    position-weighted gear fingerprint (`cdc_fingerprint`).
+
+    Shape: ONE shuffle-free ``map_batches``.  Per block, all texts
+    concatenate into a single byte buffer; the window hash evaluates
+    as ``CDC_WINDOW`` shifted adds over the whole buffer (vectorized
+    uint64, wrap-exact), candidates as one mask compare, and every
+    chunk fingerprint reads off two global cumsums — the only Python
+    iteration left is over the (sparse) candidate list per doc, which
+    the min/max rules make inherently sequential.  No state crosses
+    blocks; scale is linear."""
+    import ray
+
+    gear_ref = ray.put(_cdc_gear())
+
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def chunk_block(t: pa.Table) -> pa.Table:
+        gear = ray.get(gear_ref)
+        texts = [
+            (s or "").encode("utf-8") for s in t["text"].to_pylist()
+        ]
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        buf = np.frombuffer(b"".join(texts), dtype=np.uint8)
+        lens = np.array([len(x) for x in texts], dtype=np.int64)
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        g = gear[buf]
+        # window hash, vectorized: h[i] = sum_{j<W} g[i-j] << j
+        h = g.copy()
+        for j in range(1, CDC_WINDOW):
+            h[j:] += g[:-j] << np.uint64(j)
+        is_cand = (h & np.uint64(CDC_MASK)) == 0
+        # position-weighted cumsums for the chunk fingerprints
+        s1 = np.cumsum(g)                                   # Σ g
+        s2 = np.cumsum(g * (np.arange(len(g), dtype=np.uint64)
+                            + np.uint64(1)))                # Σ g·(i+1)
+        out_doc, out_cid, out_start, out_len, out_fp = [], [], [], [], []
+        for d in range(len(texts)):
+            lo, hi_ = int(offs[d]), int(offs[d + 1])
+            n = hi_ - lo
+            if n == 0:
+                continue
+            # candidates local to this doc, window fully inside it
+            cand = np.nonzero(is_cand[lo:hi_])[0]
+            cand = cand[cand >= CDC_WINDOW - 1] + 1  # cut AFTER byte i
+            cuts: list[int] = []
+            last = 0
+            for p in cand.tolist():
+                while p - last > CDC_MAX:
+                    last += CDC_MAX
+                    cuts.append(last)
+                if p - last >= CDC_MIN:
+                    cuts.append(p)
+                    last = p
+            while n - last > CDC_MAX:
+                last += CDC_MAX
+                cuts.append(last)
+            if last < n:
+                cuts.append(n)
+            start = 0
+            for ci, end in enumerate(cuts):
+                a, b_ = lo + start, lo + end  # global [a, b_)
+                fp = (
+                    (s2[b_ - 1] - (s2[a - 1] if a else np.uint64(0)))
+                    - np.uint64(a)
+                    * (s1[b_ - 1] - (s1[a - 1] if a else np.uint64(0)))
+                )
+                out_doc.append(ids[d])
+                out_cid.append(ci)
+                out_start.append(start)
+                out_len.append(end - start)
+                out_fp.append(int(fp))
+                start = end
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "chunk_id": pa.array(out_cid, pa.int64()),
+                "start": pa.array(out_start, pa.int64()),
+                "length": pa.array(out_len, pa.int64()),
+                "fp": pa.array(
+                    np.array(out_fp, dtype=np.uint64), pa.uint64()
+                ),
+            }
+        )
+
+    return docs.map_batches(chunk_block, batch_format="pyarrow")
