@@ -1071,14 +1071,17 @@ FROM tok a JOIN tok b
 
 # -- rare-token burden per document (df-tail counting) ------------------------
 
-RARE_DF_MAX = 30  # a token is "rare" if its document frequency is <= this
+RARE_DF_DIV = 15  # "rare" = document frequency ≤ |documents| / this
 
 
 def q_rare_token_docs(sf_dir: str):
     """Per-document count of its DISTINCT rare tokens — tokens whose
-    corpus document frequency is ≤ ``RARE_DF_MAX`` (the df tail:
-    typos, random identifiers, OCR noise).  A high rare-token count is
-    the complement signal to traindata's `q_lm_unigram_score`
+    corpus document frequency is in the df tail (≤ 1/``RARE_DF_DIV``
+    of the corpus: typos, random identifiers, OCR noise).  The
+    threshold is PROPORTIONAL so the operator stays meaningful at any
+    corpus size; both sides compare with exact integer arithmetic
+    (``df · DIV ≤ n_docs``).  A high rare-token count is the
+    complement signal to traindata's `q_lm_unigram_score`
     in-distribution score.
 
     Scale note: the df tail is most of a Zipfian vocabulary, so the
@@ -1095,9 +1098,12 @@ def q_rare_token_docs(sf_dir: str):
 
     from ..functions.partitioning import bucket_count, parquet_token_estimate
 
+    from ..functions.partitioning import parquet_rows
+
     nb = bucket_count(
         parquet_token_estimate(f"{sf_dir}/documents.parquet"), min_buckets=32
     )
+    n_docs = parquet_rows(f"{sf_dir}/documents.parquet")
 
     def distinct_pairs(t: pa.Table) -> pa.Table:
         parents, words = _flat_words(t)
@@ -1121,7 +1127,7 @@ def q_rare_token_docs(sf_dir: str):
     def rare_bucket(g: pd.DataFrame) -> pa.Table:
         # df per word is COMPLETE within this bucket (word → one bucket)
         df = g.groupby("word")["doc_id"].transform("size")
-        rare = g[df.to_numpy() <= RARE_DF_MAX]
+        rare = g[df.to_numpy() * RARE_DF_DIV <= n_docs]
         out = rare.groupby("doc_id", as_index=False).size()
         return pa.table(
             {
@@ -1168,6 +1174,6 @@ WITH tok AS (SELECT DISTINCT doc_id, word FROM ({SQL_TOK})),
 f AS (SELECT word, count(*) AS c FROM tok GROUP BY word)
 SELECT doc_id, count(*) AS n_rare
 FROM tok JOIN f USING (word)
-WHERE f.c <= {RARE_DF_MAX}
+WHERE f.c * {RARE_DF_DIV} <= (SELECT count(*) FROM documents)
 GROUP BY doc_id
 """
