@@ -94,6 +94,26 @@ except ImportError:
     LANCE_AVAILABLE = False
 
 
+class _ArrowIPCDatasink:
+    """Lazy-constructed ``BlockBasedFileDatasink`` writing one Arrow
+    IPC (Feather v2) file per output block — the distributed write path
+    of ``TableCatalog(fmt="arrow")``."""
+
+    def __new__(cls, path: str):
+        from ray.data.datasource import BlockBasedFileDatasink
+
+        class _Sink(BlockBasedFileDatasink):
+            def __init__(self, p):
+                super().__init__(p, file_format="arrow")
+
+            def write_block_to_file(self, block, file):
+                tbl = block.to_arrow().replace_schema_metadata(None)
+                with pa.ipc.new_file(file, tbl.schema) as w:
+                    w.write_table(tbl)
+
+        return _Sink(path)
+
+
 class TableCatalog:
     """Named durable tables rooted at one directory.
 
@@ -108,9 +128,14 @@ class TableCatalog:
     ``ray.data`` reads — but no column pruning at the read (row-based
     formats parse before projecting) and weaker type fidelity
     (timestamps round-trip as strings), so parquet/lance stay the
-    durable internal layout."""
+    durable internal layout.  ``fmt="arrow"`` is the Arrow IPC file
+    format (= Feather v2): full arrow type fidelity (lists,
+    timestamps) and column-selective reads via the IPC footer, one
+    ``.arrow`` file per output block through a ``BlockBasedFileDatasink``
+    — the zero-parse handoff format for other arrow-native engines;
+    parquet keeps row-group statistics pruning, which IPC lacks."""
 
-    FORMATS = ("parquet", "lance", "jsonl", "csv")
+    FORMATS = ("parquet", "lance", "jsonl", "csv", "arrow")
 
     def __init__(self, root: str, fmt: str = "parquet"):
         if fmt == "lance" and not LANCE_AVAILABLE:
@@ -162,12 +187,18 @@ class TableCatalog:
                 import pyarrow.csv as pacsv
 
                 pacsv.write_csv(data, os.path.join(tmp, "part-0.csv"))
+            elif self.fmt == "arrow":
+                with pa.OSFile(os.path.join(tmp, "part-0.arrow"), "wb") as f:
+                    with pa.ipc.new_file(f, data.schema) as w:
+                        w.write_table(data)
             else:
                 pq.write_table(data, os.path.join(tmp, "part-0.parquet"))
         elif self.fmt == "jsonl":
             data.write_json(tmp)
         elif self.fmt == "csv":
             data.write_csv(tmp)
+        elif self.fmt == "arrow":
+            data.write_datasink(_ArrowIPCDatasink(tmp))
         else:
             data.write_parquet(tmp)
         if mode == "overwrite" and os.path.isdir(final):
@@ -205,6 +236,25 @@ class TableCatalog:
         if self.fmt == "csv":
             ds = ray.data.read_csv(self.path(name))
             return ds.select_columns(columns) if columns else ds
+        if self.fmt == "arrow":
+            files = self._files(name, ".arrow")
+            if not files:
+                return ray.data.from_arrow(pa.table({}))
+
+            def parse(t: pa.Table) -> pa.Table:
+                import pyarrow.feather as feather
+
+                tabs = [
+                    feather.read_table(p, columns=columns)
+                    for p in t["item"].to_pylist()
+                ]
+                return pa.concat_tables(tabs)
+
+            # one task per IPC file; the footer-level column selection
+            # in feather.read_table keeps the read pruned like parquet
+            return ray.data.from_items(
+                files, override_num_blocks=len(files)
+            ).map_batches(parse, batch_format="pyarrow")
         return ray.data.read_parquet(self.path(name), columns=columns)
 
     def _files(self, name: str, suffix: str) -> list[str]:
@@ -229,6 +279,12 @@ class TableCatalog:
 
             return pa.concat_tables(
                 [pacsv.read_csv(f) for f in self._files(name, ".csv")]
+            )
+        if self.fmt == "arrow":
+            import pyarrow.feather as feather
+
+            return pa.concat_tables(
+                [feather.read_table(f) for f in self._files(name, ".arrow")]
             )
         return pq.read_table(self.path(name))
 

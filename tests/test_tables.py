@@ -79,9 +79,9 @@ def test_lance_format_gating(tmp_path):
     assert cat.read("pt-x").count() == 3
 
 
-@pytest.mark.parametrize("fmt", ["jsonl", "csv"])
+@pytest.mark.parametrize("fmt", ["jsonl", "csv", "arrow"])
 def test_interchange_format_roundtrip(tmp_path, fmt, ray_session):
-    """JSONL / CSV catalogs keep the same discipline as parquet: atomic
+    """JSONL / CSV / Arrow-IPC catalogs keep the same discipline as parquet: atomic
     write, Dataset + arrow reads, counts — the interchange formats an
     LLM-data pipeline exports to / imports from."""
     cat = TableCatalog(str(tmp_path), fmt=fmt)
