@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promo_revenue": relational.q_promo_revenue,
         "large_orders": relational.q_large_orders,
         "dsir_weights": traindata.q_dsir_weights,
+        "lm_bigram_score": traindata.q_lm_bigram_score,
         "new_users_daily": events.q_new_users_daily,
         "rare_token_docs": textpipe.q_rare_token_docs,
         "centroid_assign": similarity.q_centroid_assign,
@@ -304,6 +305,7 @@ def oracle_sql() -> dict[str, str]:
         "promo_revenue": relational.SQL_PROMO_REVENUE,
         "large_orders": relational.SQL_LARGE_ORDERS,
         "dsir_weights": traindata.SQL_DSIR_WEIGHTS,
+        "lm_bigram_score": traindata.SQL_LM_BIGRAM_SCORE,
         "new_users_daily": events.SQL_NEW_USERS_DAILY,
         "rare_token_docs": textpipe.SQL_RARE_TOKEN_DOCS,
         "centroid_assign": similarity.sql_centroid_assign(),

@@ -547,6 +547,176 @@ FROM agg
 """
 
 
+# -- bigram LM commonness score ------------------------------------------------
+
+
+def q_lm_bigram_score(sf_dir: str):
+    """Bigram language-model scoring of each document against the
+    corpus itself: ``score = mean over doc bigrams of q(b)`` where
+    ``q(b) = corpus_count(b) / total_bigrams`` — the order-aware
+    sibling of :func:`q_lm_unigram_score` (a doc full of common words
+    in garbled ORDER scores high on unigrams but low here; the pair of
+    scores is the standard cheap fluency gate before a model-based
+    one).  Docs with < 2 tokens have no bigrams and are absent from
+    the result, exactly like the SQL aggregate.
+
+    Kept hash-exact by staying rational (the unigram discipline): the
+    per-doc reduction is the integer sum of ``c_db * C_b``; the only
+    float ops are the two final divisions, applied in the SQL oracle's
+    order.  Shape: vectorized per-doc bigram counts (shifted flat
+    token arrays masked at doc boundaries — no per-doc Python loop) →
+    per-BIGRAM-hash bucket ``map_groups`` where every occurrence of a
+    bigram is co-located, so one pandas groupby yields the corpus
+    count and the additive per-doc ``c·C`` partials → per-DOC-hash
+    bucket sum of ≤nb partials.  At 100 TB each exchange moves the
+    per-doc distinct-bigram stream (≈ token count), never the corpus
+    cross product; nb is size-derived so per-bucket memory is bounded.
+    """
+    nb = bucket_count(
+        parquet_token_estimate(f"{sf_dir}/documents.parquet"),
+        min_buckets=NB_FLOOR,
+    )
+
+    _empty = pa.table(
+        {
+            "bucket": pa.array([], pa.int32()),
+            "doc_id": pa.array([], pa.int64()),
+            "bigram": pa.array([], pa.string()),
+            "c": pa.array([], pa.int64()),
+        }
+    )
+
+    def doc_bigram_counts(t: pa.Table) -> pa.Table:
+        parents, toks = _flat_tokens(t)
+        if len(parents) < 2:
+            return _empty
+        # adjacent pairs within one doc: mask the shifted token stream
+        # at document boundaries (the q_bigram_counts kernel)
+        same = parents[1:] == parents[:-1]
+        if not same.any():
+            return _empty
+        p = parents[:-1][same]
+        bg = pd.Series(toks[:-1][same]) + " " + pd.Series(toks[1:][same])
+        bc = (
+            pd.DataFrame({"p": p, "bigram": bg.to_numpy()})
+            .groupby(["p", "bigram"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        # md5 only over the batch's DISTINCT bigrams (lm_unigram shape)
+        bmap = {
+            b: int(hashlib.md5(b.encode()).hexdigest()[:8], 16) & (nb - 1)
+            for b in pd.unique(bc["bigram"])
+        }
+        all_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    bc["bigram"].map(bmap).to_numpy(np.int32), pa.int32()
+                ),
+                "doc_id": pa.array(all_ids[bc["p"].to_numpy()], pa.int64()),
+                "bigram": pa.array(bc["bigram"], pa.string()),
+                "c": pa.array(bc["c"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    dc = _docs(sf_dir).map_batches(doc_bigram_counts, batch_format="pyarrow")
+
+    # arrow-out map_groups — see q_lm_unigram_score's score_bucket note
+    def score_bucket(g: pd.DataFrame) -> pa.Table:
+        cb = g.groupby("bigram")["c"].sum()
+        prod = g["c"].to_numpy(dtype=np.int64) * cb.loc[
+            g["bigram"]
+        ].to_numpy(dtype=np.int64)
+        out = pd.DataFrame(
+            {"doc_id": g["doc_id"], "n": g["c"], "prod": prod}
+        ).groupby("doc_id", as_index=False).sum()
+        out = out.astype({"doc_id": "int64", "n": "int64", "prod": "int64"})
+        return pa.Table.from_pandas(
+            out, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    def sum_doc_bucket(g: pd.DataFrame) -> pa.Table:
+        out = (
+            g.groupby("doc_id", as_index=False)[["n", "prod"]]
+            .sum()
+            .astype({"doc_id": "int64", "n": "int64", "prod": "int64"})
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"].to_numpy()),
+                "n_bigrams": pa.array(out["n"].to_numpy()),
+                "p": pa.array(out["prod"].to_numpy()),
+            }
+        )
+
+    def add_doc_bucket(t: pa.Table) -> pa.Table:
+        db = pc.cast(
+            pc.bit_wise_and(t["doc_id"], pa.scalar(nb - 1)), pa.int32()
+        )
+        return t.append_column("dbucket", db)
+
+    per_doc = (
+        dc.groupby("bucket")
+        .map_groups(score_bucket, batch_format="pandas")
+        .map_batches(add_doc_bucket, batch_format="pyarrow")
+        .groupby("dbucket")
+        .map_groups(sum_doc_bucket, batch_format="pandas")
+        .materialize()
+    )
+    total = per_doc.aggregate(Sum("n_bigrams", alias_name="s"))["s"] or 0
+
+    def finish(t: pa.Table) -> pa.Table:
+        raw = pc.divide(
+            pc.divide(
+                pc.cast(t["p"], pa.float64()),
+                pc.cast(t["n_bigrams"], pa.float64()),
+            ),
+            pa.scalar(float(total)),
+        )
+        score = pc.divide(
+            pc.floor(pc.add(pc.multiply(raw, pa.scalar(1e6)), pa.scalar(0.5))),
+            pa.scalar(1e6),
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_bigrams": pc.cast(t["n_bigrams"], pa.int64()),
+                "lm2_score": score,
+            }
+        )
+
+    return per_doc.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_LM_BIGRAM_SCORE = f"""
+WITH toks AS ({_SQL_TOKLIST}),
+pairs AS (
+    SELECT doc_id,
+           unnest(list_zip(l[1:len(l) - 1], l[2:len(l)])) AS pr
+    FROM toks WHERE len(l) >= 2
+),
+bc AS (
+    SELECT doc_id, pr[1] || ' ' || pr[2] AS bigram, count(*) AS c
+    FROM pairs GROUP BY doc_id, bigram
+),
+freq AS (SELECT bigram, CAST(sum(c) AS BIGINT) AS cb FROM bc GROUP BY bigram),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM bc),
+agg AS (
+    SELECT bc.doc_id,
+           CAST(sum(bc.c) AS BIGINT) AS n_bigrams,
+           CAST(sum(bc.c * freq.cb) AS BIGINT) AS p
+    FROM bc JOIN freq USING (bigram)
+    GROUP BY bc.doc_id
+)
+SELECT doc_id, n_bigrams,
+       floor(CAST(p AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+             / CAST((SELECT t FROM tot) AS DOUBLE) * 1000000 + 0.5)
+           / 1000000.0 AS lm2_score
+FROM agg
+"""
+
+
 # -- sequence packing (distributed prefix sum) --------------------------------
 
 SEQ_LEN = 2048  # pack capacity in tokens (a typical pretraining context)
