@@ -172,6 +172,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "large_orders": relational.q_large_orders,
         "dsir_weights": traindata.q_dsir_weights,
         "lm_bigram_score": traindata.q_lm_bigram_score,
+        "source_divergence": traindata.q_source_divergence,
+        "order_count_distribution": relational.q_order_count_distribution,
         "new_users_daily": events.q_new_users_daily,
         "rare_token_docs": textpipe.q_rare_token_docs,
         "centroid_assign": similarity.q_centroid_assign,
@@ -306,6 +308,8 @@ def oracle_sql() -> dict[str, str]:
         "large_orders": relational.SQL_LARGE_ORDERS,
         "dsir_weights": traindata.SQL_DSIR_WEIGHTS,
         "lm_bigram_score": traindata.SQL_LM_BIGRAM_SCORE,
+        "source_divergence": traindata.SQL_SOURCE_DIVERGENCE,
+        "order_count_distribution": relational.SQL_ORDER_COUNT_DISTRIBUTION,
         "new_users_daily": events.SQL_NEW_USERS_DAILY,
         "rare_token_docs": textpipe.SQL_RARE_TOKEN_DOCS,
         "centroid_assign": similarity.sql_centroid_assign(),

@@ -3755,3 +3755,104 @@ WHERE o_orderkey = l_orderkey AND c_custkey = o_custkey
 ORDER BY o_totalprice DESC, o_orderkey
 LIMIT {Q18_TOPN}
 """
+
+
+# -- customer order-count distribution (TPC-H Q13 shape) -----------------------
+
+
+def q_order_count_distribution(sf_dir: str):
+    """TPC-H Q13 shape: the distribution of per-customer order counts
+    — how many customers placed 0, 1, 2, … orders.  The classic
+    "distribution of counts" double aggregate whose outer GROUP BY is
+    a LEFT JOIN (customers with no orders contribute the 0 bin).
+
+    Shape: the fact table never joins — each block pre-aggregates its
+    own ``o_custkey`` value_counts (arrow ``group_by``), ONE
+    custkey-hash-bucketed ``map_groups`` merges the partials into
+    exact per-customer counts AND collapses each bucket to its local
+    count-histogram (c_count, n) — so the second aggregate's input is
+    buckets × |distinct counts| rows, merged on the driver (order
+    counts are a tiny bounded domain).  The 0 bin is |customer| −
+    |distinct custkeys in orders|: the customer table contributes one
+    scalar (its row count; o_custkey ⊆ c_custkey by the TPC-H FK, the
+    same invariant `q_revenue_by_segment` relies on).  At 100 TB the
+    only exchange moves blocks × |custkeys per block| pre-agg rows."""
+    import pandas as pd
+
+    NB = bucket_count(parquet_rows(f"{sf_dir}/orders.parquet"))
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    n_customers = parquet_rows(f"{sf_dir}/customer.parquet")
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"k": t["o_custkey"]})
+            .group_by("k")
+            .aggregate([([], "count_all")])
+            .rename_columns(["k", "c"])
+        )
+        k = g["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (k.astype(np.uint64) * 0x9E3779B97F4A7C15
+                     >> 40).astype(np.int64) & (NB - 1),
+                    pa.int32(),
+                ),
+                "k": pa.array(k, pa.int64()),
+                "c": pc.cast(g["c"], pa.int64()),
+            }
+        )
+
+    def hist_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        per_cust = g.groupby("k")["c"].sum()
+        out = per_cust.value_counts().reset_index()
+        out.columns = ["c_count", "n"]
+        return out.astype({"c_count": "int64", "n": "int64"})
+
+    parts = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(hist_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(parts) == 0:
+        hist = pd.DataFrame({"c_count": [np.int64(0)],
+                             "custdist": [np.int64(n_customers)]})
+    else:
+        hist = (
+            parts.groupby("c_count", as_index=False)["n"]
+            .sum()
+            .rename(columns={"n": "custdist"})
+        )
+        # every ordering customer contributes exactly one unit to one
+        # (c_count, n) row, so Σn = |distinct custkeys in orders|
+        zero = n_customers - int(parts["n"].sum())
+        if zero > 0:
+            hist = pd.concat(
+                [hist,
+                 pd.DataFrame({"c_count": [np.int64(0)],
+                               "custdist": [np.int64(zero)]})],
+                ignore_index=True,
+            )
+    hist = hist.sort_values(
+        ["custdist", "c_count"], ascending=[False, False],
+        ignore_index=True,
+    ).astype({"c_count": "int64", "custdist": "int64"})
+    return pa.table(
+        {
+            "c_count": pa.array(hist["c_count"].to_numpy(np.int64)),
+            "custdist": pa.array(hist["custdist"].to_numpy(np.int64)),
+        }
+    )
+
+
+SQL_ORDER_COUNT_DISTRIBUTION = """
+SELECT c_count, count(*) AS custdist
+FROM (
+    SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""

@@ -1764,6 +1764,166 @@ FROM agg
 """
 
 
+# -- per-source KL divergence (distribution-drift monitor) ---------------------
+
+
+def q_source_divergence(sf_dir: str):
+    """KL divergence of each source's unigram token distribution from
+    the whole-corpus distribution — the mixture-drift monitor a
+    training-data pipeline runs per ingest batch (a source whose KL
+    jumps has changed character and needs re-weighting; the companion
+    to `q_source_mix`'s share table and `q_dsir_weights`' resampler).
+
+    ``KL(p_s ‖ p) = (1/N_s)·Σ_w c_sw·(ln c_sw − ln c_w) + ln N − ln
+    N_s`` — the per-(source, word) log-ratio is the only transcendental
+    term, so it quantizes ONCE onto the DSIR 1e-6 integer grid and the
+    reduction is exact int64 ``Σ c·q`` partials; the final float
+    expression applies in the SQL oracle's operation order.
+
+    Shape: per-block (source, word, count) pre-agg (the token stream
+    never leaves the block) → word-hash-bucketed ``map_groups`` where
+    every occurrence of a word is co-located, so c_w is bucket-local
+    and the bucket reduces to ≤|sources| additive (Σc, Σc·q) rows →
+    driver merges |sources|×nb scalars.  No vocab broadcast, no
+    second exchange; the |sources| domain is small by construction."""
+    nb = bucket_count(
+        parquet_token_estimate(f"{sf_dir}/documents.parquet"),
+        min_buckets=NB_FLOOR,
+    )
+
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["text", "source"]
+    )
+
+    def src_counts(t: pa.Table) -> pa.Table:
+        parents, toks = _flat_tokens(t)
+        if len(parents) == 0:
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int32()),
+                    "source": pa.array([], pa.string()),
+                    "word": pa.array([], pa.string()),
+                    "c": pa.array([], pa.int64()),
+                }
+            )
+        srcs = np.asarray(
+            t["source"].to_pylist(), dtype=object
+        )  # |sources| is tiny; the heavy stream is the tokens
+        sw = (
+            pd.DataFrame({"source": srcs[parents], "word": toks})
+            .groupby(["source", "word"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        bmap = {
+            w: int(hashlib.md5(w.encode()).hexdigest()[:8], 16) & (nb - 1)
+            for w in pd.unique(sw["word"])
+        }
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    sw["word"].map(bmap).to_numpy(np.int32), pa.int32()
+                ),
+                "source": pa.array(sw["source"], pa.string()),
+                "word": pa.array(sw["word"], pa.string()),
+                "c": pa.array(sw["c"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    sc = docs.map_batches(src_counts, batch_format="pyarrow")
+
+    def kl_bucket(g: pd.DataFrame) -> pa.Table:
+        # c_w = corpus count of each word — complete inside this bucket
+        c = g["c"].to_numpy(np.int64)
+        cw = pd.Series(c).groupby(g["word"].to_numpy()).sum()
+        lnr = np.log(c.astype(np.float64)) - np.log(
+            cw.loc[g["word"]].to_numpy(np.float64)
+        )
+        q = np.floor(lnr * DSIR_GRID + 0.5).astype(np.int64)
+        out = (
+            pd.DataFrame({"source": g["source"], "n": c, "p": c * q})
+            .groupby("source", as_index=False)
+            .sum()
+        )
+        return pa.table(
+            {
+                "source": pa.array(out["source"], pa.string()),
+                "n": pa.array(out["n"].to_numpy(np.int64), pa.int64()),
+                "p": pa.array(out["p"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    # ≤ |sources| rows per bucket: a driver-side stitch, not a shuffle
+    parts = (
+        sc.groupby("bucket")
+        .map_groups(kl_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(parts) == 0:
+        return pa.table(
+            {
+                "source": pa.array([], pa.string()),
+                "n_tokens": pa.array([], pa.int64()),
+                "kl": pa.array([], pa.float64()),
+            }
+        )
+    agg = parts.groupby("source", as_index=False)[["n", "p"]].sum()
+    total = float(agg["n"].sum())
+    ns = agg["n"].to_numpy(np.float64)
+    raw = (
+        agg["p"].to_numpy(np.float64) / float(DSIR_GRID) / ns
+        + np.log(total)
+        - np.log(ns)
+    )
+    kl = np.floor(raw * 1e6 + 0.5) / 1e6
+    out = pd.DataFrame(
+        {"source": agg["source"], "n_tokens": agg["n"], "kl": kl}
+    ).sort_values("source", ignore_index=True)
+    return pa.table(
+        {
+            "source": pa.array(out["source"], pa.string()),
+            "n_tokens": pa.array(out["n_tokens"].to_numpy(np.int64)),
+            "kl": pa.array(out["kl"].to_numpy(np.float64)),
+        }
+    )
+
+
+SQL_SOURCE_DIVERGENCE = f"""
+WITH toks AS (
+    SELECT source,
+           list_filter(string_split_regex(lower(COALESCE(text, '')),
+                                          '[^a-z]+'),
+                       w -> w <> '' AND length(w) <= {MAX_WORD_LENGTH}) AS l
+    FROM documents
+),
+words AS (SELECT source, unnest(l) AS word FROM toks),
+sw AS (SELECT source, word, count(*) AS c FROM words GROUP BY source, word),
+wtot AS (SELECT word, CAST(sum(c) AS BIGINT) AS cw FROM sw GROUP BY word),
+q AS (
+    SELECT sw.source, sw.c,
+           CAST(floor((ln(CAST(sw.c AS DOUBLE))
+                       - ln(CAST(wtot.cw AS DOUBLE)))
+                      * {DSIR_GRID} + 0.5) AS BIGINT) AS qv
+    FROM sw JOIN wtot USING (word)
+),
+agg AS (
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(sum(c * qv) AS BIGINT) AS p
+    FROM q GROUP BY source
+),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM sw)
+SELECT source, n_tokens,
+       floor((CAST(p AS DOUBLE) / {DSIR_GRID}.0
+                  / CAST(n_tokens AS DOUBLE)
+              + ln(CAST((SELECT t FROM tot) AS DOUBLE))
+              - ln(CAST(n_tokens AS DOUBLE))) * 1000000 + 0.5)
+           / 1000000.0 AS kl
+FROM agg
+ORDER BY source
+"""
+
+
 # -- content-defined chunking (FastCDC-style gear hash) -----------------------
 
 CDC_MASK = 0xFF     # boundary when (h & mask) == 0 → ~256-byte expected chunk
