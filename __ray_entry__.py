@@ -174,6 +174,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_bigram_score": traindata.q_lm_bigram_score,
         "source_divergence": traindata.q_source_divergence,
         "order_count_distribution": relational.q_order_count_distribution,
+        "returned_items": relational.q_returned_items,
+        "vocab_head_coverage": traindata.q_vocab_head_coverage,
         "new_users_daily": events.q_new_users_daily,
         "rare_token_docs": textpipe.q_rare_token_docs,
         "centroid_assign": similarity.q_centroid_assign,
@@ -310,6 +312,8 @@ def oracle_sql() -> dict[str, str]:
         "lm_bigram_score": traindata.SQL_LM_BIGRAM_SCORE,
         "source_divergence": traindata.SQL_SOURCE_DIVERGENCE,
         "order_count_distribution": relational.SQL_ORDER_COUNT_DISTRIBUTION,
+        "returned_items": relational.SQL_RETURNED_ITEMS,
+        "vocab_head_coverage": traindata.SQL_VOCAB_HEAD_COVERAGE,
         "new_users_daily": events.SQL_NEW_USERS_DAILY,
         "rare_token_docs": textpipe.SQL_RARE_TOKEN_DOCS,
         "centroid_assign": similarity.sql_centroid_assign(),

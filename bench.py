@@ -207,6 +207,20 @@ QUERY_NAMES = [
     "kmeans_embeddings",
     "dedup_semantic",
     "mmr_diversify",
+    "forecast_revenue",
+    "shipping_priority",
+    "promo_revenue",
+    "large_orders",
+    "dsir_weights",
+    "new_users_daily",
+    "rare_token_docs",
+    "centroid_assign",
+    "cdc_chunks",
+    "lm_bigram_score",
+    "source_divergence",
+    "order_count_distribution",
+    "returned_items",
+    "vocab_head_coverage",
 ]
 
 

@@ -3856,3 +3856,210 @@ FROM (
 GROUP BY c_count
 ORDER BY custdist DESC, c_count DESC
 """
+
+
+# -- returned-item report (TPC-H Q10 shape) -------------------------------------
+
+Q10_DATE_LO = "1996-10-01"
+Q10_DATE_HI = "1997-01-01"
+Q10_TOPN = 20
+
+
+def q_returned_items(sf_dir: str):
+    """TPC-H Q10 shape: the top customers by revenue LOST to returned
+    items (``l_returnflag = 'R'``) in one order-date quarter — the
+    canonical fact⋈fact join + per-customer aggregate + top-N +
+    dimension rehydration report.
+
+    Exactness: revenue is the INTEGER ``Σ price_cents·(100 −
+    discount_bp)`` (both factors have exactly two decimals, so the
+    per-row casts never sit near a .5 — the `q_grouped_moments`
+    discipline), making the top-20 cutoff deterministic where a float
+    sum's ordering could flip near-ties.  Plan for 100 TB: both date
+    and returnflag filters push into the parquet scans; lineitem
+    pre-aggregates (orderkey, rev) per block BEFORE the single salted
+    orderkey co-bucket exchange against the quarter's orders;
+    per-custkey revenue reduces inside custkey-hash buckets to local
+    top-20 candidates, the driver merges buckets×20 rows, and ONLY the
+    20 winners' dimension rows are fetched back (broadcast `is_in`
+    semi-filter on customer; nation is a 25-row driver lookup)."""
+    import pandas as pd
+    import pyarrow.dataset as pads
+
+    B = bucket_count(
+        parquet_rows(f"{sf_dir}/orders.parquet", f"{sf_dir}/lineitem.parquet")
+    )
+    S = auto_salt_count(f"{sf_dir}/lineitem.parquet", "l_orderkey")
+
+    lo = np.datetime64(Q10_DATE_LO).astype("datetime64[us]").astype(object)
+    hi = np.datetime64(Q10_DATE_HI).astype("datetime64[us]").astype(object)
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pads.field("o_orderdate") >= lo)
+        & (pads.field("o_orderdate") < hi),
+    )
+    lineitem = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice",
+                 "l_discount"],
+        filter=pads.field("l_returnflag") == "R",
+    )
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ridx, bucket = _salted_buckets(k, B, S, replicate=True)
+        return pa.table(
+            {
+                "bucket": pa.array(bucket, pa.int32()),
+                "key": pa.array(k[ridx], pa.int64()),
+                "side": pa.array(["o"] * len(ridx), pa.string()),
+                "custkey": pc.take(
+                    pc.cast(t["o_custkey"], pa.int64()), pa.array(ridx)
+                ),
+                "rev": pa.nulls(len(ridx), pa.int64()),
+            }
+        )
+
+    def tag_lineitem(t: pa.Table) -> pa.Table:
+        # exact integer revenue lane: cents × (100 − basis points)
+        cents = pc.cast(
+            pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64()
+        )
+        bp = pc.cast(
+            pc.round(pc.multiply(t["l_discount"], 100.0)), pa.int64()
+        )
+        rev = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()), bp))
+        # per-block (orderkey, rev) pre-agg before the exchange
+        g = (
+            pa.table({"key": t["l_orderkey"], "rev": rev})
+            .group_by("key")
+            .aggregate([("rev", "sum")])
+            .rename_columns(["key", "rev"])
+        )
+        k = g["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx, bucket = _salted_buckets(k, B, S, replicate=False)
+        return pa.table(
+            {
+                "bucket": pa.array(bucket, pa.int32()),
+                "key": pa.array(k[idx], pa.int64()),
+                "side": pa.array(["l"] * len(idx), pa.string()),
+                "custkey": pa.nulls(len(idx), pa.int64()),
+                "rev": pc.take(g["rev"], pa.array(idx)),
+            }
+        )
+
+    tagged = orders.map_batches(tag_orders, batch_format="pyarrow").union(
+        lineitem.map_batches(tag_lineitem, batch_format="pyarrow")
+    )
+
+    _empty_cr = pa.table(
+        {"custkey": pa.array([], pa.int64()), "rev": pa.array([], pa.int64())}
+    )
+
+    # arrow out with stripped metadata — pandas-schema'd blocks defeat
+    # Ray's schema-dedup in the downstream groupby (traindata.py:221)
+    def join_bucket(g: pd.DataFrame) -> pa.Table:
+        left = g[g["side"] == "o"][["key", "custkey"]]
+        right = g[g["side"] == "l"][["key", "rev"]]
+        m = right.merge(left, on="key", how="inner")
+        if len(m) == 0:
+            return _empty_cr
+        out = m.groupby("custkey", as_index=False)["rev"].sum()
+        out = out.astype({"custkey": "int64", "rev": "int64"})
+        return pa.Table.from_pandas(
+            out, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    def cust_bucket(t: pa.Table) -> pa.Table:
+        cb = pc.cast(
+            pc.bit_wise_and(t["custkey"], pa.scalar(B - 1)), pa.int32()
+        )
+        return t.append_column("cbucket", cb)
+
+    def top_bucket(g: pd.DataFrame) -> pa.Table:
+        out = g.groupby("custkey", as_index=False)["rev"].sum()
+        out = out.sort_values(
+            ["rev", "custkey"], ascending=[False, True]
+        ).head(Q10_TOPN)
+        out = out.astype({"custkey": "int64", "rev": "int64"})
+        return pa.Table.from_pandas(
+            out, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    cands = (
+        tagged.groupby("bucket")
+        .map_groups(join_bucket, batch_format="pandas")
+        .map_batches(cust_bucket, batch_format="pyarrow")
+        .groupby("cbucket")
+        .map_groups(top_bucket, batch_format="pandas")
+        .to_pandas()  # buckets × 20 candidate rows
+    )
+    if len(cands) == 0:
+        return pa.table(
+            {
+                "c_custkey": pa.array([], pa.int64()),
+                "c_name": pa.array([], pa.string()),
+                "c_acctbal": pa.array([], pa.float64()),
+                "n_name": pa.array([], pa.string()),
+                "revenue_e4": pa.array([], pa.int64()),
+            }
+        )
+    top = cands.sort_values(
+        ["rev", "custkey"], ascending=[False, True]
+    ).head(Q10_TOPN)
+
+    # rehydrate ONLY the winners: broadcast 20 keys, semi-filter customer
+    win = pa.array(top["custkey"].to_numpy(np.int64), pa.int64())
+    win_ref = ray.put(win)
+
+    def semi(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["c_custkey"], value_set=ray.get(win_ref))
+        return t.filter(keep)
+
+    cust = (
+        _read(sf_dir, "customer",
+              ["c_custkey", "c_name", "c_acctbal", "c_nationkey"])
+        .map_batches(semi, batch_format="pyarrow")
+        .to_pandas()
+    )
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    out = (
+        top.rename(columns={"custkey": "c_custkey", "rev": "revenue_e4"})
+        .merge(cust, on="c_custkey")
+        .merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+        .sort_values(["revenue_e4", "c_custkey"],
+                     ascending=[False, True], ignore_index=True)
+    )
+    return pa.table(
+        {
+            "c_custkey": pa.array(out["c_custkey"].to_numpy(np.int64)),
+            "c_name": pa.array(out["c_name"], pa.string()),
+            "c_acctbal": pa.array(
+                out["c_acctbal"].to_numpy(np.float64), pa.float64()
+            ),
+            "n_name": pa.array(out["n_name"], pa.string()),
+            "revenue_e4": pa.array(out["revenue_e4"].to_numpy(np.int64)),
+        }
+    )
+
+
+SQL_RETURNED_ITEMS = f"""
+WITH rev AS (
+    SELECT o.o_custkey,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS revenue_e4
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= DATE '{Q10_DATE_LO}'
+      AND o.o_orderdate < DATE '{Q10_DATE_HI}'
+    GROUP BY o.o_custkey
+)
+SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name, r.revenue_e4
+FROM rev r
+JOIN customer c ON c.c_custkey = r.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+ORDER BY r.revenue_e4 DESC, c.c_custkey
+LIMIT {Q10_TOPN}
+"""

@@ -1924,6 +1924,121 @@ ORDER BY source
 """
 
 
+# -- exact vocabulary head coverage ---------------------------------------------
+
+HEAD_K = 100
+
+
+def q_vocab_head_coverage(sf_dir: str):
+    """What fraction of all token occurrences the top-{HEAD_K} words
+    carry — the Zipf-head census a tokenizer-vocab or stopword-list
+    builder runs first (high coverage ⇒ a tiny vocab head dominates
+    the corpus).  EXACT, unlike `q_top_tokens`' Misra-Gries bound: a
+    global top-K is safe to compute from per-bucket local top-Ks
+    because a word's full count lives in one hash bucket, and any
+    global winner ranks above all-but-<K words of its own bucket.
+
+    Shape: per-block (word, c) pre-agg → word-hash-bucketed
+    ``map_groups`` reduces each bucket to its local top-{HEAD_K}
+    (c DESC, word ASC) plus ONE bucket-mass row — buckets×(K+1) rows
+    to the driver, never the vocabulary."""
+    nb = bucket_count(
+        parquet_token_estimate(f"{sf_dir}/documents.parquet"),
+        min_buckets=NB_FLOOR,
+    )
+
+    def word_partials(t: pa.Table) -> pa.Table:
+        parents, toks = _flat_tokens(t)
+        if len(parents) == 0:
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int32()),
+                    "word": pa.array([], pa.string()),
+                    "c": pa.array([], pa.int64()),
+                }
+            )
+        wc = (
+            pd.DataFrame({"word": toks})
+            .groupby("word", sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        bmap = {
+            w: int(hashlib.md5(w.encode()).hexdigest()[:8], 16) & (nb - 1)
+            for w in wc["word"]
+        }
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    wc["word"].map(bmap).to_numpy(np.int32), pa.int32()
+                ),
+                "word": pa.array(wc["word"], pa.string()),
+                "c": pa.array(wc["c"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    def head_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        wc = g.groupby("word", as_index=False)["c"].sum()
+        mass = np.int64(wc["c"].sum())
+        top = wc.sort_values(
+            ["c", "word"], ascending=[False, True]
+        ).head(HEAD_K)
+        out = pd.DataFrame(
+            {
+                "word": list(top["word"]) + [""],
+                "c": list(top["c"].astype("int64")) + [np.int64(0)],
+                "mass": [np.int64(0)] * len(top) + [mass],
+            }
+        )
+        return out.astype({"c": "int64", "mass": "int64"})
+
+    parts = (
+        _docs(sf_dir)
+        .map_batches(word_partials, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(head_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    total = int(parts["mass"].sum()) if len(parts) else 0
+    if total == 0:
+        return pa.table(
+            {
+                "k": pa.array([np.int64(HEAD_K)]),
+                "head_mass": pa.array([np.int64(0)]),
+                "total_tokens": pa.array([np.int64(0)]),
+                "coverage": pa.array([0.0], pa.float64()),
+            }
+        )
+    cand = parts[parts["word"] != ""].sort_values(
+        ["c", "word"], ascending=[False, True]
+    ).head(HEAD_K)
+    head = int(cand["c"].sum())
+    coverage = math.floor(head / total * 1e6 + 0.5) / 1e6
+    return pa.table(
+        {
+            "k": pa.array([np.int64(HEAD_K)]),
+            "head_mass": pa.array([np.int64(head)]),
+            "total_tokens": pa.array([np.int64(total)]),
+            "coverage": pa.array([coverage], pa.float64()),
+        }
+    )
+
+
+SQL_VOCAB_HEAD_COVERAGE = f"""
+WITH toks AS ({_SQL_TOKLIST}),
+words AS (SELECT unnest(l) AS word FROM toks),
+wc AS (SELECT word, count(*) AS c FROM words GROUP BY word),
+head AS (SELECT c FROM wc ORDER BY c DESC, word LIMIT {HEAD_K}),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM wc)
+SELECT CAST({HEAD_K} AS BIGINT) AS k,
+       CAST((SELECT sum(c) FROM head) AS BIGINT) AS head_mass,
+       (SELECT t FROM tot) AS total_tokens,
+       floor(CAST((SELECT sum(c) FROM head) AS DOUBLE)
+             / CAST((SELECT t FROM tot) AS DOUBLE) * 1000000 + 0.5)
+           / 1000000.0 AS coverage
+"""
+
+
 # -- content-defined chunking (FastCDC-style gear hash) -----------------------
 
 CDC_MASK = 0xFF     # boundary when (h & mask) == 0 → ~256-byte expected chunk
