@@ -2181,11 +2181,12 @@ def q_cdc_chunks(sf_dir: str):
             start = 0
             for ci, end in enumerate(cuts):
                 a, b_ = lo + start, lo + end  # global [a, b_)
-                fp = (
-                    (s2[b_ - 1] - (s2[a - 1] if a else np.uint64(0)))
-                    - np.uint64(a)
-                    * (s1[b_ - 1] - (s1[a - 1] if a else np.uint64(0)))
-                )
+                with np.errstate(over="ignore"):  # mod-2^64 by design
+                    fp = (
+                        (s2[b_ - 1] - (s2[a - 1] if a else np.uint64(0)))
+                        - np.uint64(a)
+                        * (s1[b_ - 1] - (s1[a - 1] if a else np.uint64(0)))
+                    )
                 out_doc.append(ids[d])
                 out_cid.append(ci)
                 out_start.append(start)
